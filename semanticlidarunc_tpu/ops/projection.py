@@ -1,0 +1,210 @@
+"""Spherical (equirectangular) range-image projection of LiDAR point clouds.
+
+Semantics replicated from the reference `spherical_projection`
+(/root/reference/src/dataset/utils.py:288-349):
+
+- angles: phi = atan2(y, x);  theta = pi/2 - atan2(sqrt(x^2+y^2), z)
+  (:61-67 `to_deflection_coordinates`)
+- elevation bins from the *data* min/max theta (or a fixed `theta_range`),
+  binned with `np.digitize` on DESCENDING bin edges, minus 1 (:331-339).
+  Note this inherits the reference's quirky edge behavior (the max-angle point
+  lands on index -1, which wraps to the last row/column); we reproduce it
+  bit-exactly because trained-model parity depends on it.
+- nearest-point-wins: the reference sorts points by range descending and lets
+  later (nearer) writes overwrite earlier ones (:299-344). Ties in range are
+  won by the point with the smaller original index.
+
+Two implementations:
+
+- `spherical_projection_np`: host/numpy golden reference (used by the data
+  pipeline for CPU preprocessing and by tests).
+- `spherical_projection`: jittable JAX version over fixed-size padded point
+  buffers. Instead of a sequential overwrite loop it uses three deterministic
+  scatter-min passes (range -> tie-break index -> unique winner write), which
+  XLA lowers to parallel scatters; results are bit-identical to the numpy
+  version for any valid mask.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# angles
+# ---------------------------------------------------------------------------
+
+def deflection_angles_np(x, y, z):
+    p = np.sqrt(x ** 2 + y ** 2)
+    phi = np.arctan2(y, x)
+    theta = -np.arctan2(p, z) + np.pi / 2
+    return phi, theta
+
+
+def _deflection_angles(x, y, z):
+    p = jnp.sqrt(x ** 2 + y ** 2)
+    phi = jnp.arctan2(y, x)
+    theta = -jnp.arctan2(p, z) + jnp.pi / 2
+    return phi, theta
+
+
+# ---------------------------------------------------------------------------
+# descending-bin digitize
+# ---------------------------------------------------------------------------
+
+def _digitize_desc_np(x: np.ndarray, bins_desc: np.ndarray) -> np.ndarray:
+    """np.digitize(x, bins) for monotonically decreasing bins (right=False)."""
+    return np.digitize(x, bins_desc)
+
+
+def _digitize_desc(x: jnp.ndarray, bins_asc: jnp.ndarray) -> jnp.ndarray:
+    """JAX equivalent of np.digitize on the DESCENDING view of `bins_asc`.
+
+    For decreasing bins `b` (b = bins_asc[::-1]) and right=False, numpy returns
+    the count of bin edges strictly greater than x, i.e.
+        digitize(x, b) = len(b) - searchsorted(bins_asc, x, side='right')
+    (verified bit-exactly in tests/test_projection.py).
+    """
+    n = bins_asc.shape[0]
+    return n - jnp.searchsorted(bins_asc, x, side="right")
+
+
+# ---------------------------------------------------------------------------
+# numpy golden implementation
+# ---------------------------------------------------------------------------
+
+def spherical_projection_np(pc: np.ndarray, height: int = 64, width: int = 2048,
+                            theta_range=None, bins_h: np.ndarray | None = None):
+    """Project an (N, C) point cloud (cols 0:3 = xyz) to an (H, W, C) image.
+
+    Returns (image, alpha_grid, (theta_min, theta_max), (phi_min, phi_max)),
+    matching the reference's return signature.
+    """
+    pc = np.asarray(pc)
+    x, y, z = pc[:, 0], pc[:, 1], pc[:, 2]
+    r = np.sqrt(x * x + y * y + z * z)
+    phi, theta = deflection_angles_np(x, y, z)
+
+    if theta_range is None:
+        theta_min, theta_max = float(theta.min()), float(theta.max())
+    else:
+        theta_min, theta_max = theta_range
+    phi_min, phi_max = -np.pi, np.pi
+
+    if bins_h is None:
+        bins_h = np.linspace(theta_min, theta_max, height)[::-1]
+    bins_w = np.linspace(phi_min, phi_max, width)[::-1]
+
+    idx_h = _digitize_desc_np(theta, bins_h) - 1
+    idx_w = _digitize_desc_np(phi, bins_w) - 1
+
+    # nearest-wins with smaller-original-index tie break: iterate far -> near.
+    order = np.argsort(r, kind="stable")[::-1]
+    img = np.zeros((height, width, pc.shape[1]), dtype=np.float32)
+    img[idx_h[order], idx_w[order], :] = pc[order]
+
+    theta_img = np.stack(width * [bins_h], axis=-1)
+    phi_img = np.stack(height * [bins_w], axis=0)
+    alpha = np.sqrt(theta_img ** 2 + phi_img ** 2)
+    return img, alpha, (theta_min, theta_max), (phi_min, phi_max)
+
+
+# ---------------------------------------------------------------------------
+# JAX on-device implementation
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("height", "width"))
+def projection_indices(points_xyz: jnp.ndarray, valid: jnp.ndarray,
+                       height: int, width: int,
+                       theta_range: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Per-point flat pixel index (idx_h * width + idx_w); invalid -> H*W."""
+    x, y, z = points_xyz[:, 0], points_xyz[:, 1], points_xyz[:, 2]
+    phi, theta = _deflection_angles(x, y, z)
+
+    if theta_range is None:
+        big = jnp.asarray(np.pi, theta.dtype)
+        theta_min = jnp.min(jnp.where(valid, theta, big))
+        theta_max = jnp.max(jnp.where(valid, theta, -big))
+    else:
+        theta_min, theta_max = theta_range[0], theta_range[1]
+
+    # ascending views of the descending bin edges
+    # linspace(a, b, H)[::-1] reversed == linspace(b, a, H) reversed again;
+    # we build the ascending edges directly to keep identical float values.
+    bins_h_asc = jnp.linspace(theta_min, theta_max, height)
+    bins_w_asc = jnp.linspace(-np.pi, np.pi, width)
+
+    idx_h = (_digitize_desc(theta, bins_h_asc) - 1) % height
+    idx_w = (_digitize_desc(phi, bins_w_asc) - 1) % width
+    flat = idx_h * width + idx_w
+    return jnp.where(valid, flat, height * width)
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width"))
+def spherical_projection(points: jnp.ndarray, valid: jnp.ndarray,
+                         height: int = 64, width: int = 2048,
+                         theta_range: jnp.ndarray | None = None) -> jnp.ndarray:
+    """On-device projection of a fixed-size padded point buffer.
+
+    Args:
+      points: (N, C) float32, columns 0:3 are xyz. Padded rows allowed.
+      valid:  (N,) bool, False for padding rows.
+      height, width: output grid.
+      theta_range: optional (2,) [theta_min, theta_max]; None -> from data.
+
+    Returns:
+      (H, W, C) float32 image; empty pixels are zero.
+    """
+    n = points.shape[0]
+    hw = height * width
+    r = jnp.linalg.norm(points[:, 0:3], axis=-1)
+    flat = projection_indices(points[:, 0:3], valid, height, width, theta_range)
+
+    # pass 1: min range per pixel (invalid points target the overflow slot hw)
+    inf = jnp.asarray(jnp.inf, r.dtype)
+    grid_r = jnp.full((hw + 1,), inf, r.dtype).at[flat].min(jnp.where(valid, r, inf))
+
+    # pass 2: among min-range candidates, min original index wins the tie
+    cand = valid & (r == grid_r[flat])
+    idx = jnp.arange(n, dtype=jnp.int32)
+    cand_flat = jnp.where(cand, flat, hw)
+    grid_i = jnp.full((hw + 1,), n, jnp.int32).at[cand_flat].min(idx)
+
+    # pass 3: unique winners write their full channel vector
+    winner = cand & (idx == grid_i[flat])
+    win_flat = jnp.where(winner, flat, hw)
+    img = jnp.zeros((hw + 1, points.shape[1]), points.dtype).at[win_flat].set(points)
+    return img[:hw].reshape(height, width, points.shape[1])
+
+
+def pad_points(pc: np.ndarray, capacity: int) -> tuple[np.ndarray, np.ndarray]:
+    """Pad/truncate an (N, C) cloud to (capacity, C) + validity mask."""
+    n = min(pc.shape[0], capacity)
+    out = np.zeros((capacity, pc.shape[1]), dtype=np.float32)
+    out[:n] = pc[:n]
+    valid = np.zeros((capacity,), dtype=bool)
+    valid[:n] = True
+    return out, valid
+
+
+def rotate_z_np(points_xyz: np.ndarray, angle_deg: float) -> np.ndarray:
+    """Yaw rotation of (N, 3) points (reference: src/dataset/utils.py:4-18).
+
+    The reference right-multiplies by the rotation matrix (p @ R), which for
+    its R equals a rotation by -angle; we reproduce that exact convention.
+    """
+    a = np.radians(angle_deg)
+    rot = np.array([[np.cos(a), -np.sin(a), 0.0],
+                    [np.sin(a), np.cos(a), 0.0],
+                    [0.0, 0.0, 1.0]])
+    return points_xyz @ rot
+
+
+def rotate_z(points_xyz: jnp.ndarray, angle_rad: jnp.ndarray) -> jnp.ndarray:
+    """On-device yaw rotation matching `rotate_z_np` (angle in radians)."""
+    c, s = jnp.cos(angle_rad), jnp.sin(angle_rad)
+    rot = jnp.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]], points_xyz.dtype)
+    return points_xyz @ rot
