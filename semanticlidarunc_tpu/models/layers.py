@@ -1,0 +1,115 @@
+"""Shared flax building blocks for the segmentation models (NHWC layout).
+
+Equivalents of the reference blocks in
+/root/reference/src/baselines/Reichert/semanticFCN_opt.py:10-107, rebuilt
+TPU-first: NHWC tensors, bf16-friendly dtypes, `jax.image.resize` for
+alias-free interpolation (half-pixel sampling == torch align_corners=False).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+def gn_groups(channels: int, groups: int = 32) -> int:
+    g = min(groups, channels)
+    return math.gcd(g, channels) or 1
+
+
+class ConvBN(nn.Module):
+    """Conv -> BatchNorm -> ReLU (the reference FPN block, :348-364)."""
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride), use_bias=True,
+                    dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype)(x)
+        return nn.relu(x)
+
+
+class UpsampleBlock(nn.Module):
+    """Interpolate -> 3x3 conv -> GroupNorm -> ReLU (alias-free)
+    (reference: semanticFCN_opt.py:10-28)."""
+    features: int
+    scale: int
+    groups: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * self.scale, w * self.scale, c),
+                             method="bilinear")
+        x = nn.Conv(self.features, (3, 3), use_bias=False, dtype=self.dtype)(x)
+        x = nn.GroupNorm(num_groups=gn_groups(self.features, self.groups),
+                         dtype=self.dtype)(x)
+        return nn.relu(x)
+
+
+class SpatialAttention(nn.Module):
+    """Residual spatial attention with a stable softmax over H*W
+    (reference: semanticFCN_opt.py:73-85)."""
+    reduction: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        hid = max(1, c // self.reduction)
+        s = nn.Conv(hid, (1, 1), use_bias=False, dtype=self.dtype)(x)
+        s = nn.Conv(1, (1, 1), use_bias=False, dtype=self.dtype)(nn.relu(s))
+        # softmax over the full spatial map, in f32 for stability
+        wmap = jax.nn.softmax(s.astype(jnp.float32).reshape(b, h * w, 1), axis=1)
+        wmap = wmap.reshape(b, h, w, 1).astype(x.dtype)
+        return x * wmap + x
+
+
+class GNConv(nn.Module):
+    """3x3 conv -> GroupNorm -> ReLU (decoder blocks, semanticFCN_opt.py:304-311)."""
+    features: int
+    groups: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.features, (3, 3), use_bias=False, dtype=self.dtype)(x)
+        x = nn.GroupNorm(num_groups=gn_groups(self.features, self.groups),
+                         dtype=self.dtype)(x)
+        return nn.relu(x)
+
+
+def resize_nearest(x: jnp.ndarray, scale: float) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, int(h * scale), int(w * scale), c),
+                            method="nearest")
+
+
+def channel_dropout(x: jnp.ndarray, rate: float, deterministic: bool,
+                    rng=None) -> jnp.ndarray:
+    """Functional Dropout2d (zeroes whole channels), used outside Modules."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, (x.shape[0], 1, 1, x.shape[-1]))
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
+class Dropout2d(nn.Module):
+    """Channel dropout (torch nn.Dropout2d) for NHWC tensors."""
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        return nn.Dropout(rate=self.rate, broadcast_dims=(1, 2),
+                          deterministic=deterministic)(x)
