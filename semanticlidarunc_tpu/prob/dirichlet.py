@@ -1,0 +1,196 @@
+"""Dirichlet evidential uncertainty core.
+
+Functional JAX port of /root/reference/src/models/probability_helper.py
+(logits->alpha maps :81-108; entropy/AU/EU and normalized variants :116-247).
+All arrays are channel-last ([..., C]); every function is jit/vmap/grad-safe
+and takes eps/T explicitly instead of the reference's module-global knobs
+(:12-37) — globals don't compose with jit.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+EPS = 1e-8  # reference default _EPS (probability_helper.py:14)
+
+
+def to_alpha(logits: jnp.ndarray, T: float = 1.0, eps: float = EPS) -> jnp.ndarray:
+    """alpha = softplus(z/T) + 1 + eps (reference :81-87)."""
+    return jax.nn.softplus(logits / T) + 1.0 + eps
+
+
+def to_alpha_shape_scale(shape_logits: jnp.ndarray, scale_logits: jnp.ndarray,
+                         T: float = 1.0, eps: float = EPS) -> jnp.ndarray:
+    """Shape-scale parametrization used in training (reference :89-105):
+
+    alpha = 1 + softplus(scale/T) * softmax(shape) + eps, so that
+    alpha0 = K + s exactly — the scale head controls total evidence and the
+    shape head controls its allocation.
+
+    shape_logits [..., C], scale_logits [..., 1].
+    """
+    s = jax.nn.softplus(scale_logits / T)
+    p = jax.nn.softmax(shape_logits, axis=-1)
+    return 1.0 + s * p + eps
+
+
+def split_dirichlet_logits(outputs: jnp.ndarray, num_classes: int):
+    """Split the network's K+1 channels into (shape [...,K], scale [...,1])
+    (reference trainer.py:533-534)."""
+    return outputs[..., :num_classes], outputs[..., num_classes:num_classes + 1]
+
+
+def mean_probs(alpha: jnp.ndarray, eps: float = EPS) -> jnp.ndarray:
+    a0 = alpha.sum(axis=-1, keepdims=True) + eps
+    return alpha / a0
+
+
+def predictive_entropy(alpha: jnp.ndarray, eps: float = EPS) -> jnp.ndarray:
+    """H[E[p]] (reference :116-121)."""
+    p = mean_probs(alpha, eps)
+    return -jnp.sum(p * jnp.log(p + eps), axis=-1)
+
+
+def aleatoric_uncertainty(alpha: jnp.ndarray, eps: float = EPS) -> jnp.ndarray:
+    """AU = -sum p_hat (psi(alpha+1) - psi(alpha0+1)) (reference :124-130)."""
+    a0 = alpha.sum(axis=-1, keepdims=True) + eps
+    term = jax.scipy.special.digamma(alpha + 1.0) - \
+        jax.scipy.special.digamma(a0 + 1.0)
+    p = alpha / a0
+    return -jnp.sum(p * term, axis=-1)
+
+
+def epistemic_uncertainty(alpha: jnp.ndarray, eps: float = EPS) -> jnp.ndarray:
+    return predictive_entropy(alpha, eps) - aleatoric_uncertainty(alpha, eps)
+
+
+mutual_information = epistemic_uncertainty  # Dirichlet MI == EU
+
+
+# ---- normalized variants (reference :147-216) ----
+
+def _au_ref(c: int) -> float:
+    """psi(C+1) - psi(2) = H_C - 1, the AU of a flat Dirichlet."""
+    import scipy.special as sp
+    return float(sp.digamma(c + 1) - sp.digamma(2.0))
+
+
+def predictive_entropy_norm(alpha: jnp.ndarray, eps: float = EPS) -> jnp.ndarray:
+    return predictive_entropy(alpha, eps) / math.log(alpha.shape[-1])
+
+
+def aleatoric_uncertainty_norm(alpha: jnp.ndarray, eps: float = EPS,
+                               mode: str = "max") -> jnp.ndarray:
+    c = alpha.shape[-1]
+    au = aleatoric_uncertainty(alpha, eps)
+    if mode == "max":
+        return jnp.clip(au / math.log(c), 0.0, 1.0)
+    if mode == "ref":
+        au_ref = _au_ref(c)
+        eu_span = max(math.log(c) - au_ref, eps)
+        raw = (au - au_ref) / eu_span
+        lo = -au_ref / eu_span
+        return jnp.clip((raw - lo) / (1.0 - lo), 0.0, 1.0)
+    raise ValueError(f"Unknown mode: {mode}")
+
+
+def epistemic_uncertainty_norm(alpha: jnp.ndarray, eps: float = EPS,
+                               mode: str = "max") -> jnp.ndarray:
+    c = alpha.shape[-1]
+    if mode == "max":
+        return jnp.clip(epistemic_uncertainty(alpha, eps) / math.log(c), 0.0, 1.0)
+    if mode == "ref":
+        return jnp.clip(1.0 - aleatoric_uncertainty_norm(alpha, eps, "ref"),
+                        0.0, 1.0)
+    raise ValueError(f"Unknown mode: {mode}")
+
+
+def aleatoric_fraction(alpha: jnp.ndarray, eps: float = EPS,
+                       min_h: float = EPS) -> jnp.ndarray:
+    h = predictive_entropy(alpha, eps)
+    au = aleatoric_uncertainty(alpha, eps)
+    return jnp.clip(au / jnp.clip(h, min_h), 0.0, 1.0)
+
+
+def epistemic_fraction(alpha: jnp.ndarray, eps: float = EPS,
+                       min_h: float = EPS) -> jnp.ndarray:
+    h = predictive_entropy(alpha, eps)
+    eu = epistemic_uncertainty(alpha, eps)
+    return jnp.clip(eu / jnp.clip(h, min_h), 0.0, 1.0)
+
+
+def eu_minus_au_fraction(alpha: jnp.ndarray, eps: float = EPS,
+                         min_h: float = EPS) -> jnp.ndarray:
+    return jnp.clip(epistemic_fraction(alpha, eps, min_h) -
+                    aleatoric_fraction(alpha, eps, min_h), -1.0, 1.0)
+
+
+# ---- entropy/error analysis (reference :389-450) ----
+
+def entropy_error_iou(entropy_norm: jnp.ndarray, error_mask: jnp.ndarray,
+                      thresholds: jnp.ndarray) -> jnp.ndarray:
+    """IoU between {entropy > tau} and the error mask, per threshold."""
+    e = entropy_norm.reshape(-1)
+    err = error_mask.reshape(-1) > 0.5
+    pred = e[None, :] > thresholds[:, None]
+    inter = jnp.sum(pred & err[None, :], axis=1).astype(jnp.float32)
+    union = jnp.sum(pred | err[None, :], axis=1).astype(jnp.float32)
+    return jnp.where(union > 0, inter / union, 0.0)
+
+
+def entropy_reliability(entropy_norm: jnp.ndarray, error_mask: jnp.ndarray,
+                        n_bins: int = 10):
+    """(totals, errors, err_rate, ece): does entropy predict error frequency?
+    (reference :425-450, bucketize semantics)."""
+    h = entropy_norm.reshape(-1)
+    e = error_mask.reshape(-1).astype(jnp.float32)
+    edges = jnp.linspace(0.0, 1.0, n_bins + 1)
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    bins = jnp.clip(jnp.searchsorted(edges, h, side="right"), 0, n_bins) - 1
+    bins = jnp.clip(bins, 0, n_bins - 1)
+    totals = jnp.zeros(n_bins).at[bins].add(1.0)
+    errors = jnp.zeros(n_bins).at[bins].add(e)
+    rate = jnp.where(totals > 0, errors / jnp.clip(totals, 1.0), 0.0)
+    n = h.shape[0]
+    ece = jnp.sum(totals / max(n, 1) * jnp.abs(centers - rate))
+    return totals, errors, rate, ece
+
+
+def sample_dirichlet(rng: jax.Array, alpha: jnp.ndarray,
+                     n_samples: int) -> jnp.ndarray:
+    """[M, ..., C] Dirichlet draws via normalized Gamma samples."""
+    g = jax.random.gamma(rng, jnp.broadcast_to(alpha, (n_samples,) + alpha.shape))
+    return g / jnp.sum(g, axis=-1, keepdims=True)
+
+
+def mc_reliability_bins(rng: jax.Array, alpha: jnp.ndarray, y_true: jnp.ndarray,
+                        n_bins: int = 10, n_samples: int = 64,
+                        eps: float = EPS):
+    """(hits, totals): empirical argmax-agreement confidence vs 1-shot
+    correctness (reference :339-366)."""
+    samples = sample_dirichlet(rng, alpha, n_samples)
+    max_s = jnp.argmax(samples, axis=-1)
+    agree = (max_s == y_true[None]).mean(axis=0)
+    conf = jnp.clip(agree.reshape(-1), eps, 1.0 - eps)
+    pred1 = jnp.argmax(mean_probs(alpha, eps), axis=-1).reshape(-1)
+    correct1 = (pred1 == y_true.reshape(-1)).astype(jnp.float32)
+    bin_id = jnp.clip((conf * n_bins).astype(jnp.int32), 0, n_bins - 1)
+    totals = jnp.zeros(n_bins).at[bin_id].add(1.0)
+    hits = jnp.zeros(n_bins).at[bin_id].add(correct1)
+    return hits, totals
+
+
+def entropy_from_logistic_normal(rng: jax.Array, logits_mean: jnp.ndarray,
+                                 logits_var: jnp.ndarray, k: int = 16,
+                                 T: float = 1.0, eps: float = EPS):
+    """MC predictive entropy of a logistic-normal output (ADF-style heads,
+    reference :453-484). Returns (H, H_norm)."""
+    c = logits_mean.shape[-1]
+    std = jnp.sqrt(jnp.clip(logits_var, 0.0) + eps)
+    noise = jax.random.normal(rng, (k,) + logits_mean.shape, logits_mean.dtype)
+    samples = (logits_mean[None] + noise * std[None]) / max(T, eps)
+    p_bar = jax.nn.softmax(samples, axis=-1).mean(axis=0)
+    h = -jnp.sum(jnp.log(jnp.clip(p_bar, eps)) * p_bar, axis=-1)
+    return h, h / math.log(c)
