@@ -1,0 +1,537 @@
+"""Trainer: jitted train/eval steps, Dirichlet loss zoo, balancer wiring.
+
+Functional re-architecture of /root/reference/src/models/trainer.py:
+- the per-batch hot path (forward, loss terms, backward, optimizer, LR
+  schedule, confusion-matrix update) is ONE compiled `train_step`; loss-term
+  weights enter as a traced vector so host-side balancer updates never
+  retrigger compilation;
+- per-term gradient norms for GradNorm are measured every `eq_interval` steps
+  by a second compiled function (single jacrev = all terms in one fused
+  computation) instead of K sequential retain_graph backwards
+  (reference trainer.py:590-629);
+- eval statistics (confmat, ECE bins, AUROC/AURC histograms, uncertainty
+  summaries) are computed on device in one compiled `eval_step` and only tiny
+  per-bin arrays reach the host (reference streams per-pixel reservoirs to
+  CPU, tester.py:383-516).
+"""
+from __future__ import annotations
+
+import math
+import os
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state as flax_train_state
+
+from ..losses import balancer as bal
+from ..losses import dirichlet as dloss
+from ..losses import lovasz as lv
+from ..losses import segmentation as seg
+from ..metrics import aurc as aurc_m
+from ..metrics import auroc as auroc_m
+from ..metrics import ece as ece_m
+from ..metrics import iou as iou_m
+from ..models import registry
+from ..prob import dirichlet as pdl
+from ..prob import mc_dropout as mc
+from ..prob import prior
+from ..utils import config as cfg_util
+from . import checkpoint as ckpt
+from .schedules import warmup_cosine
+
+
+class TrainState(flax_train_state.TrainState):
+    batch_stats: Any = None
+
+
+DIRICHLET_TERMS = ("brier", "comp", "digamma_ce", "kl", "ls", "mse", "nll",
+                   "wle")
+BALANCE_KEYS = ("nll", "ls", "brier", "mse", "digamma_ce")
+
+
+class Trainer:
+    def __init__(self, model, cfg: dict, *, seed: int = 0,
+                 logging: bool = False, save_path: str = "",
+                 total_train_steps: int | None = None):
+        self.model = model
+        self.cfg = cfg
+        self.logging = logging
+        self.save_path = save_path
+        self.loss_name = cfg["model_settings"]["loss_function"]
+        self.baseline = cfg["model_settings"].get("baseline", "Reichert")
+        n_extra = int(cfg["extras"]["num_classes"])
+        # data classes K; the Dirichlet model emits K+1 channels (K shape + 1
+        # scale; reference trainer.py:196, 533-534)
+        self.num_classes = n_extra - 1 if self.loss_name == "Dirichlet" else n_extra
+        self.ignore_index = 0
+        self.use_mc_sampling = bool(cfg["model_settings"].get("use_mc_sampling", 0))
+        self.mc_samples = int(cfg["model_settings"].get("mc_samples", 30))
+        self.test_mask = cfg["extras"].get(
+            "test_mask", [0] + [1] * (self.num_classes - 1))[:self.num_classes]
+        self.class_names = cfg["extras"].get("class_names")
+        self.rng = jax.random.PRNGKey(seed)
+        self.global_step = 0
+        self.total_train_steps = total_train_steps or 1
+        self.eq_interval = 10
+
+        self._init_losses()
+        self._build_steps()
+
+        self.iou_evaluator = iou_m.IoUEvaluator(self.num_classes)
+        eval_kind = "alpha" if self.loss_name == "Dirichlet" else "probs"
+        self.ece_eval = ece_m.ECEAggregator(n_bins=15, mode=eval_kind,
+                                            ignore_index=self.ignore_index)
+        self.auroc_eval = auroc_m.AUROCAggregator(
+            mode=eval_kind, score="entropy_norm",
+            ignore_index=self.ignore_index)
+        self.auroc_eval_mi = auroc_m.AUROCAggregator(
+            mode=eval_kind, score="mi_norm", ignore_index=self.ignore_index)
+        self.aurc_eval = aurc_m.AURCAggregator(ignore_index=self.ignore_index)
+
+        self.writer = None
+        if logging and save_path:
+            try:
+                from tensorboardX import SummaryWriter
+                os.makedirs(save_path, exist_ok=True)
+                self.writer = SummaryWriter(log_dir=save_path)
+            except ImportError:
+                pass
+
+    # ------------------------------------------------------------------
+    # loss setup (reference trainer.py:274-431)
+    # ------------------------------------------------------------------
+    def _init_losses(self):
+        cfg = self.cfg
+        if self.loss_name == "Tversky":
+            w = cfg_util.loss_weights(cfg, "Tversky",
+                                      dict(w_ce=1.0, w_tversky=1.0))
+            self.base_weights = {"ce": w["w_ce"], "tversky": w["w_tversky"]}
+        elif self.loss_name in ("CE", "Lovasz"):
+            self.base_weights = {self.loss_name.lower(): 1.0}
+        elif self.loss_name == "SalsaNext":
+            w = cfg_util.loss_weights(cfg, "SalsaNext",
+                                      dict(w_nll=1.0, w_ls=1.0))
+            self.base_weights = {"nll": w["w_nll"], "ls": w["w_ls"]}
+        elif self.loss_name == "Dirichlet":
+            defaults = dict(w_nll=1.0, w_ls=2.5, w_kl=0.5, w_comp=0.2,
+                            w_brier=0.05, w_wle=0.05, w_mse=1.0,
+                            w_digamma_ce=1.0)
+            w = cfg_util.loss_weights(cfg, "Dirichlet", defaults)
+            self.base_weights = {
+                "nll": w["w_nll"], "ls": w["w_ls"], "comp": w["w_comp"],
+                "brier": w["w_brier"], "kl": w["w_kl"], "wle": w["w_wle"],
+                "mse": w["w_mse"], "digamma_ce": w["w_digamma_ce"]}
+            self.prior_concentration, self.prior_per_class = \
+                prior.solve_alpha0_for_coverage(p_star=0.90, h=0.05,
+                                                delta=0.025, K=self.num_classes)
+            self.brier_s_ref = float(self.num_classes + 20)
+            self.active_terms = tuple(sorted(
+                k for k, v in self.base_weights.items() if v > 0.0))
+            self.balance_keys = [k for k in BALANCE_KEYS
+                                 if self.base_weights.get(k, 0.0) > 0.0]
+            self.reference_loss_term = "mse"
+            targets = {"nll": 0.75, "ls": 0.20, "brier": 0.05}
+            ts = (cfg.get("model_weights", {}).get("Dirichlet", {}) or {}).get(
+                "target_shares")
+            if isinstance(ts, dict) and all(k in ts for k in BALANCE_KEYS):
+                targets = {k: ts[k] for k in BALANCE_KEYS}
+            self.balancer = bal.AdaptiveLossBalancer(
+                names=self.balance_keys, mode="gradnorm",
+                target_share={k: targets.get(k, 0.0)
+                              for k in self.balance_keys},
+                start_step_gradnorm=5000, alpha=0.5, lr_mult=1.0,
+                ema_beta_g=0.97, ema_beta_L=0.95, step_cap=2.0, min_w=0.05,
+                max_w=10.0, inactive_frac_of_median=0.05)
+            self.cap_controller = bal.ShareCapController()
+            self.current_weights = {k: float(self.base_weights[k])
+                                    for k in self.active_terms}
+            self._last_raw_g: dict[str, float] = {}
+        else:
+            raise NotImplementedError(
+                f"Unknown loss function: {self.loss_name}")
+
+        if self.loss_name != "Dirichlet":
+            self.active_terms = tuple(sorted(self.base_weights))
+            self.current_weights = {k: float(v)
+                                    for k, v in self.base_weights.items()}
+
+    # ------------------------------------------------------------------
+    # compiled steps
+    # ------------------------------------------------------------------
+    def _forward(self, params, batch_stats, batch, train: bool, rng=None):
+        inputs = registry.set_model_inputs(
+            batch["range"], batch["reflectivity"], batch["xyz"],
+            batch["normals"], self.cfg)
+        variables = {"params": params}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        kwargs = dict(train=train)
+        if rng is not None:
+            kwargs["rngs"] = {"dropout": rng}
+        if train:
+            out, mut = self.model.apply(variables, *inputs,
+                                        mutable=["batch_stats"], **kwargs)
+            return out, mut.get("batch_stats")
+        return self.model.apply(variables, *inputs, **kwargs), batch_stats
+
+    def _loss_terms(self, outputs, labels):
+        """dict of scalar loss terms for the configured loss function."""
+        ii = self.ignore_index
+        if self.loss_name == "Tversky":
+            return {"ce": seg.cross_entropy(outputs, labels, ii),
+                    "tversky": seg.tversky(outputs, labels, ignore_index=ii)}
+        if self.loss_name == "CE":
+            return {"ce": seg.cross_entropy(outputs, labels, ii)}
+        if self.loss_name == "Lovasz":
+            return {"lovasz": lv.lovasz_softmax(outputs, labels, ii)}
+        if self.loss_name == "SalsaNext":
+            # reference trains on softmax probs: NLL(log p) + Lovasz(probs)
+            # over ALL pixels (torch NLLLoss default has no ignore_index
+            # there; trainer.py:508-516)
+            probs = jax.nn.softmax(outputs, axis=-1)
+            logp = jnp.log(jnp.clip(probs, 1e-8))
+            nll = -jnp.mean(jnp.take_along_axis(
+                logp, labels[..., None], axis=-1))
+            return {"nll": nll,
+                    "ls": lv.lovasz_softmax(probs, labels, ii,
+                                            model_act="probs")}
+        # Dirichlet
+        shape_logits, scale_logits = pdl.split_dirichlet_logits(
+            outputs, self.num_classes)
+        alpha = pdl.to_alpha_shape_scale(shape_logits, scale_logits)
+        p_hat = pdl.mean_probs(alpha)
+        fns = {
+            "nll": lambda: dloss.nll_dirichlet_categorical(alpha, labels, ii),
+            "mse": lambda: dloss.dirichlet_mse(alpha, labels, ii),
+            "digamma_ce": lambda: dloss.digamma_dirichlet_ce(alpha, labels, ii),
+            "ls": lambda: lv.lovasz_softmax(p_hat, labels, ii,
+                                            model_act="probs"),
+            "comp": lambda: dloss.complement_kl_uniform(
+                alpha, labels, ii, gamma=1.25, tau=0.65, sigma=0.15),
+            "brier": lambda: dloss.brier_dirichlet(alpha, labels, ii,
+                                                   s_ref=self.brier_s_ref),
+            "wle": lambda: dloss.wrong_low_evidence(alpha, labels, ii),
+            "kl": lambda: dloss.kl_off_classes_to_uniform(alpha, labels, ii),
+        }
+        return {k: fns[k]() for k in self.active_terms}
+
+    def predictions_from_outputs(self, outputs):
+        """Class logits used for argmax/eval (shape head for Dirichlet)."""
+        if self.loss_name == "Dirichlet":
+            return outputs[..., :self.num_classes]
+        return outputs
+
+    def _build_steps(self):
+        terms_sorted = tuple(sorted(self.active_terms))
+        self._terms_order = terms_sorted
+        nc = self.num_classes
+
+        def train_step(state: TrainState, batch, weights_vec, rng):
+            labels = batch["labels"]
+
+            def loss_fn(params):
+                outputs, new_bs = self._forward(params, state.batch_stats,
+                                                batch, train=True, rng=rng)
+                terms = self._loss_terms(outputs, labels)
+                total = sum(weights_vec[i] * terms[k]
+                            for i, k in enumerate(terms_sorted))
+                return total, (terms, new_bs, outputs)
+
+            (loss, (terms, new_bs, outputs)), grads = \
+                jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            state = state.apply_gradients(grads=grads)
+            if new_bs is not None:
+                state = state.replace(batch_stats=new_bs)
+            preds = jnp.argmax(self.predictions_from_outputs(outputs), -1)
+            cm = iou_m.confusion_matrix(preds, labels, nc)
+            metrics = {"loss": loss,
+                       "terms": jnp.stack([terms[k] for k in terms_sorted]),
+                       "confmat": cm}
+            return state, metrics
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+
+        # grad-norm measurement for the balancer (Dirichlet / SalsaNext logs)
+        def terms_of_params(params, batch_stats, batch):
+            outputs, _ = self._forward(params, batch_stats, batch,
+                                       train=False)
+            return self._loss_terms(outputs, batch["labels"])
+
+        self._gradnorm_fn = None
+
+        def eval_step(state_params, batch_stats, batch, rng):
+            labels = batch["labels"]
+            if self.use_mc_sampling:
+                logits = self._mc_logits(state_params, batch_stats, batch, rng)
+                p_bar, h_norm, mi_norm = mc.mc_summaries(
+                    self.predictions_from_outputs(logits))
+                evalu = p_bar
+                conf = jnp.max(p_bar, axis=-1)
+                mode = "probs"
+            else:
+                outputs, _ = self._forward(state_params, batch_stats, batch,
+                                           train=False)
+                if self.loss_name == "Dirichlet":
+                    sh, sc = pdl.split_dirichlet_logits(outputs, nc)
+                    alpha = pdl.to_alpha_shape_scale(sh, sc)
+                    evalu = alpha
+                    h_norm = pdl.predictive_entropy_norm(alpha)
+                    mi_norm = pdl.epistemic_uncertainty_norm(alpha)
+                    conf = jnp.max(pdl.mean_probs(alpha), axis=-1)
+                    mode = "alpha"
+                else:
+                    p = jax.nn.softmax(outputs, axis=-1)
+                    evalu = p
+                    h_norm = -jnp.sum(jnp.clip(p, 1e-12) *
+                                      jnp.log(jnp.clip(p, 1e-12)),
+                                      axis=-1) / math.log(nc)
+                    mi_norm = jnp.zeros_like(h_norm)
+                    conf = jnp.max(p, axis=-1)
+                    mode = "probs"
+            preds = jnp.argmax(evalu, axis=-1)
+            cm = iou_m.confusion_matrix(preds, labels, nc)
+            e_cnt, e_conf, e_corr = ece_m.ece_bin_stats(
+                evalu, labels, n_bins=15, ignore_index=self.ignore_index,
+                mode=mode)
+            he, ho = auroc_m.roc_histograms(h_norm, preds, labels,
+                                            ignore_index=self.ignore_index)
+            he_mi, ho_mi = auroc_m.roc_histograms(
+                mi_norm, preds, labels, ignore_index=self.ignore_index)
+            rc_cnt, rc_err = aurc_m.rc_histograms(
+                conf, preds, labels, ignore_index=self.ignore_index)
+            return {"confmat": cm, "ece": (e_cnt, e_conf, e_corr),
+                    "roc": (he, ho), "roc_mi": (he_mi, ho_mi),
+                    "rc": (rc_cnt, rc_err)}
+
+        self._eval_step = jax.jit(eval_step)
+        self._terms_of_params = terms_of_params
+
+    def _mc_logits(self, params, batch_stats, batch, rng):
+        inputs = registry.set_model_inputs(
+            batch["range"], batch["reflectivity"], batch["xyz"],
+            batch["normals"], self.cfg)
+        variables = {"params": params}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        if hasattr(self.model, "features"):
+            return mc.mc_forward_split(
+                lambda v, *i, **kw: self.model.apply(
+                    v, *i, method=self.model.features, **kw),
+                lambda v, f, **kw: self.model.apply(
+                    v, f, method=self.model.head, **kw),
+                variables, inputs, rng, self.mc_samples)
+        return mc.mc_forward(
+            lambda v, *i, **kw: self.model.apply(v, *i, **kw),
+            variables, inputs, rng, self.mc_samples)
+
+    # ------------------------------------------------------------------
+    # state creation
+    # ------------------------------------------------------------------
+    def create_state(self, sample_batch, num_epochs: int,
+                     steps_per_epoch: int,
+                     pretrained: str | None = None) -> TrainState:
+        tp = self.cfg["train_params"]
+        base_lr = float(tp.get("learning_rate", 5e-4))
+        eta_min = float(tp.get("learning_rate_min", 5e-6))
+        warmup_epochs = int(tp.get("num_warmup_epochs", 2))
+        total_steps = max(1, num_epochs * steps_per_epoch)
+        self.total_train_steps = total_steps
+        schedule = warmup_cosine(base_lr, eta_min,
+                                 warmup_epochs * steps_per_epoch, total_steps)
+        tx = optax.adamw(schedule,
+                         weight_decay=float(tp.get("weight_decay", 1e-4)))
+
+        inputs = registry.set_model_inputs(
+            jnp.asarray(sample_batch["range"]),
+            jnp.asarray(sample_batch["reflectivity"]),
+            jnp.asarray(sample_batch["xyz"]),
+            jnp.asarray(sample_batch["normals"]), self.cfg)
+        self.rng, init_rng = jax.random.split(self.rng)
+        variables = self.model.init({"params": init_rng, "dropout": init_rng},
+                                    *inputs, train=False)
+        if pretrained:
+            variables, report = ckpt.load_pretrained_safely(variables,
+                                                            pretrained)
+            if not report["ok"]:
+                print("No pretrained weights applied; training from scratch.",
+                      report.get("error", ""))
+        state = TrainState.create(
+            apply_fn=self.model.apply, params=variables["params"], tx=tx,
+            batch_stats=variables.get("batch_stats"))
+
+        if self.loss_name in ("Dirichlet", "SalsaNext"):
+            ref_mask = bal.default_ref_mask(variables["params"])
+            self._gradnorm_fn = jax.jit(bal.per_term_grad_norms(
+                lambda p, bs, b: self._terms_of_params(p, bs, b), ref_mask))
+        return state
+
+    # ------------------------------------------------------------------
+    # Dirichlet weight scheduling (reference trainer.py:604-765)
+    # ------------------------------------------------------------------
+    def _update_dirichlet_weights(self, state, batch):
+        vals, norms = self._gradnorm_fn(state.params, state.batch_stats,
+                                        batch)
+        vals = {k: float(v) for k, v in vals.items()}
+        norms = {k: float(v) for k, v in norms.items()}
+        self._last_raw_g = norms
+
+        balanced = [k for k in self.balance_keys if k in vals]
+        new_w = dict(self.current_weights)
+        if balanced:
+            w = self.balancer.step({k: vals[k] for k in balanced},
+                                   {k: norms[k] for k in balanced},
+                                   self.global_step)
+            new_w.update(w)
+
+        g_ref = norms.get(self.reference_loss_term, 0.0)
+        w_ref = new_w.get(self.reference_loss_term, 1.0)
+        step, total = self.global_step, self.total_train_steps
+
+        if "comp" in self.active_terms:
+            base = self.base_weights["comp"]
+            sched = bal.cosine_weight_ramp(step, total, w0=0.001 * base,
+                                           w_peak=base * 0.5,
+                                           w_end=base * 0.2, warm_frac=0.12,
+                                           hold_frac=0.35)
+            if g_ref > 0.0:
+                cap = bal.cosine_share_cap(step, total, 0.05, 0.03, 0.3)
+                sched = self.cap_controller.apply(
+                    "comp", sched, norms.get("comp", 0.0), g_ref, w_ref, cap)
+            new_w["comp"] = sched
+        if "wle" in self.active_terms:
+            base = self.base_weights["wle"]
+            sched = bal.cosine_weight_ramp(step, total, w0=0.5 * base,
+                                           w_peak=base, w_end=base * 0.25,
+                                           warm_frac=0.1, hold_frac=0.3)
+            if g_ref > 0.0:
+                cap = bal.cosine_share_cap(step, total, 0.2, 0.15, 0.3)
+                sched = self.cap_controller.apply(
+                    "wle", sched, norms.get("wle", 0.0), g_ref, w_ref, cap)
+            new_w["wle"] = sched
+        if "kl" in self.active_terms:
+            base = self.base_weights["kl"]
+            sched = bal.cosine_weight_ramp(step, total, w0=0.001 * base,
+                                           w_peak=base, w_end=base,
+                                           warm_frac=0.1, hold_frac=1.0)
+            if g_ref > 0.0:
+                cap = bal.cosine_share_cap(step, total, 0.15, 0.15, 1.0)
+                sched = self.cap_controller.apply(
+                    "kl", sched, norms.get("kl", 0.0), g_ref, w_ref, cap)
+            new_w["kl"] = sched
+        self.current_weights = new_w
+
+    def _weights_vec(self):
+        return jnp.asarray([float(self.current_weights.get(k, 0.0))
+                            for k in self._terms_order], jnp.float32)
+
+    # ------------------------------------------------------------------
+    # epoch loops
+    # ------------------------------------------------------------------
+    def train_one_epoch(self, state: TrainState, loader, epoch: int):
+        self.iou_evaluator.reset()
+        total_loss, n_steps = 0.0, 0
+        t0 = time.perf_counter()
+        for batch in loader:
+            if self.loss_name == "Dirichlet" and self._gradnorm_fn is not None \
+                    and self.global_step % self.eq_interval == 0:
+                self._update_dirichlet_weights(state, batch)
+            self.rng, step_rng = jax.random.split(self.rng)
+            state, metrics = self._train_step(state, batch,
+                                              self._weights_vec(), step_rng)
+            total_loss += float(metrics["loss"])
+            self.iou_evaluator.update_confmat(metrics["confmat"])
+            if self.writer and self.global_step % 20 == 0:
+                self.writer.add_scalar("train/loss", float(metrics["loss"]),
+                                       self.global_step)
+                for i, k in enumerate(self._terms_order):
+                    self.writer.add_scalar(f"train/loss_{k}",
+                                           float(metrics["terms"][i]),
+                                           self.global_step)
+                    self.writer.add_scalar(
+                        f"train/w_{k}", float(self.current_weights.get(k, 0.0)),
+                        self.global_step)
+                for k, g in getattr(self, "_last_raw_g", {}).items():
+                    self.writer.add_scalar(f"train/gradnorm_{k}", g,
+                                           self.global_step)
+            self.global_step += 1
+            n_steps += 1
+        miou, per_class = self.iou_evaluator.compute(
+            class_names=self.class_names, test_mask=self.test_mask,
+            ignore_gt=[self.ignore_index])
+        dt = time.perf_counter() - t0
+        stats = {"loss": total_loss / max(1, n_steps), "mIoU": miou,
+                 "steps": n_steps, "seconds": dt}
+        if self.writer:
+            self.writer.add_scalar("train/mIoU_epoch", miou, epoch)
+            self.writer.add_scalar("train/loss_epoch", stats["loss"], epoch)
+        return state, stats
+
+    def test_one_epoch(self, state: TrainState, loader, epoch: int = 0):
+        for agg in (self.iou_evaluator, self.ece_eval, self.auroc_eval,
+                    self.auroc_eval_mi, self.aurc_eval):
+            agg.reset()
+        n = 0
+        for batch in loader:
+            self.rng, eval_rng = jax.random.split(self.rng)
+            out = self._eval_step(state.params, state.batch_stats, batch,
+                                  eval_rng)
+            self.iou_evaluator.update_confmat(out["confmat"])
+            self.ece_eval.update_stats(*out["ece"])
+            self.auroc_eval.update_stats(*out["roc"])
+            self.auroc_eval_mi.update_stats(*out["roc_mi"])
+            self.aurc_eval.cnt += np.asarray(out["rc"][0], np.float64)
+            self.aurc_eval.err += np.asarray(out["rc"][1], np.float64)
+            n += 1
+        miou, per_class = self.iou_evaluator.compute(
+            class_names=self.class_names, test_mask=self.test_mask,
+            ignore_gt=[self.ignore_index])
+        (ece, mce), _ = self.ece_eval.compute()
+        auroc, _ = self.auroc_eval.compute()
+        auroc_mi, _ = self.auroc_eval_mi.compute()
+        rc = self.aurc_eval.compute()
+        stats = {"mIoU": miou, "per_class": per_class, "ECE": ece, "MCE": mce,
+                 "AUROC": auroc, "AUROC_MI": auroc_mi, "AURC": rc["AURC"],
+                 "EAURC": rc["EAURC"], "batches": n}
+        if self.writer:
+            for k in ("mIoU", "ECE", "MCE", "AUROC", "AUROC_MI", "AURC"):
+                v = stats[k]
+                if v == v:  # skip NaN
+                    self.writer.add_scalar(f"test/{k}", v, epoch)
+        return stats
+
+    def fit(self, state: TrainState, train_loader, val_loader,
+            num_epochs: int, test_every: int = 2, save_every: int = 2):
+        best = -float("inf")
+        history = []
+        for epoch in range(num_epochs):
+            state, tr = self.train_one_epoch(state, train_loader, epoch)
+            entry = {"epoch": epoch, **{f"train_{k}": v for k, v in tr.items()}}
+            if (epoch + 1) % test_every == 0 or epoch == num_epochs - 1:
+                te = self.test_one_epoch(state, val_loader, epoch)
+                entry.update({f"test_{k}": v for k, v in te.items()
+                              if not isinstance(v, dict)})
+                if self.save_path and te["mIoU"] == te["mIoU"] \
+                        and te["mIoU"] > best:
+                    best = te["mIoU"]
+                    self.save(state, os.path.join(self.save_path,
+                                                  f"best_epoch_{epoch}"))
+            if self.save_path and save_every > 0 and \
+                    (epoch + 1) % save_every == 0:
+                self.save(state, os.path.join(self.save_path,
+                                              f"epoch_{epoch:06d}"))
+            history.append(entry)
+        if self.save_path:
+            self.save(state, os.path.join(self.save_path, "model_final"))
+        return state, history
+
+    def save(self, state: TrainState, path: str):
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        ckpt.save_checkpoint(path, {
+            "variables": jax.device_get(variables),
+            "step": int(state.step)})
