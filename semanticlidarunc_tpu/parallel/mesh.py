@@ -1,0 +1,96 @@
+"""Device-mesh parallelism: data-parallel + spatial (azimuth) sharding.
+
+The reference is strictly single-GPU (SURVEY.md §2.7): its only distributed-
+aware line is an optional all_reduce in a metrics helper
+(/root/reference/src/utils/agg.py:75-83). The TPU-native replacement is GSPMD
+over a `jax.sharding.Mesh`:
+
+- batch data-parallelism: the batch dim is sharded over the "data" axis; XLA
+  inserts the gradient/metric psums over ICI automatically once inputs carry
+  shardings (the functional analog of DDP + sync_ddp);
+- optional spatial parallelism over the image width (azimuth) on the "model"
+  axis: convolutions over a width-sharded image compile to halo exchanges,
+  the natural scaling axis if range-image resolutions grow (SURVEY.md §5
+  long-context note);
+- MC-dropout sample parallelism: the T-sample axis can be sharded over
+  "data" at inference, since samples are embarrassingly parallel.
+
+No pipeline/tensor/expert parallelism is provided: at this model scale
+(<130M params, 64x2048 inputs) there is no dimension that needs it — a
+deliberate design decision documented per SURVEY.md §2.7, not an omission.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, data: int | None = None,
+              model: int = 1) -> Mesh:
+    """(data, model) mesh over the first data*model available devices."""
+    devs = jax.devices()
+    n = n_devices if n_devices is not None else len(devs)
+    n = min(n, len(devs))
+    if data is None:
+        data = n // model
+    devices = np.asarray(devs[:data * model]).reshape(data, model)
+    return Mesh(devices, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh, spatial: bool = False) -> dict:
+    """Shardings for a reader batch dict {range, reflectivity, xyz, normals,
+    labels}: batch dim over "data", optionally width over "model"."""
+    img = P("data", None, "model" if spatial else None, None)
+    lab = P("data", None, "model" if spatial else None)
+    return {
+        "range": NamedSharding(mesh, img),
+        "reflectivity": NamedSharding(mesh, img),
+        "xyz": NamedSharding(mesh, img),
+        "normals": NamedSharding(mesh, img),
+        "labels": NamedSharding(mesh, lab),
+    }
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh, spatial: bool = False) -> dict:
+    """Place a host batch onto the mesh with DP(+SP) shardings.
+
+    If the batch dim doesn't divide the data axis it is padded by repeating
+    the last sample (metrics treat repeats via masking upstream; training
+    loss impact is negligible for the final partial batch).
+    """
+    sh = batch_sharding(mesh, spatial)
+    d = mesh.shape["data"]
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        rem = (-v.shape[0]) % d
+        if rem:
+            v = np.concatenate([v, np.repeat(v[-1:], rem, axis=0)], axis=0)
+        out[k] = jax.device_put(v, sh[k])
+    return out
+
+
+def shard_train_step(train_step, mesh: Mesh, spatial: bool = False):
+    """Wrap a (state, batch, weights, rng) train step with mesh shardings:
+    state/weights/rng replicated, batch DP(+SP)-sharded. XLA inserts all
+    gradient all-reduces."""
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh, spatial)
+    return jax.jit(
+        train_step,
+        in_shardings=(None, bsh, rep, rep),
+        out_shardings=None,
+        donate_argnums=(0,),
+    )
+
+
+def psum_tree(tree: Any, axis_name: str = "data"):
+    """Explicit metric reduction for use inside shard_map-style code."""
+    return jax.tree_util.tree_map(lambda x: jax.lax.psum(x, axis_name), tree)
