@@ -1,0 +1,119 @@
+"""CLI entry: train / test with a reference-compatible argument surface.
+
+Mirrors /root/reference/src/train_semantics.py: `--cfg_path --mode
+{train,test} --visualization --with_logging`, same YAML schema, same run-dir
+naming, same split globbing. Additions: `dataset_dir: synthetic` runs on the
+in-memory synthetic dataset (smoke tests / machines without data), and
+checkpoints are orbax directories with true resume.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_loaders(cfg, args_mode: str):
+    from ..dataset import pipeline, readers
+
+    tp = cfg["train_params"]
+    if str(cfg.get("dataset_dir", "")).lower() == "synthetic":
+        proj = tuple(cfg["model_settings"].get("projection", [32, 128]))
+        train_ds = pipeline.SyntheticDataset(n_scans=8, projection=proj)
+        test_ds = pipeline.SyntheticDataset(n_scans=4, projection=proj,
+                                            seed=100)
+    else:
+        train_pairs, test_pairs = readers.dataset_splits(cfg)
+        if not train_pairs and args_mode == "train":
+            print(f"ERROR: no scans found under {cfg['dataset_dir']}",
+                  file=sys.stderr)
+            sys.exit(1)
+        train_ds = readers.build_dataset(cfg, train_pairs, train=True)
+        test_ds = readers.build_dataset(cfg, test_pairs, train=False)
+
+    train_loader = pipeline.DataLoader(
+        train_ds, batch_size=int(tp.get("batch_size", 4)), shuffle=True,
+        num_workers=int(tp.get("num_workers", 0)), drop_last=True)
+    test_loader = pipeline.DataLoader(
+        test_ds, batch_size=1, shuffle=False,
+        num_workers=int(tp.get("num_workers", 0)))
+    return train_loader, test_loader
+
+
+def main(args):
+    assert args.mode in {"train", "test"}, \
+        "Set --mode to one of 'train' or 'test'"
+    from ..models import registry
+    from ..train.tester import Tester
+    from ..train.trainer import Trainer
+    from ..utils import config as cfg_util
+
+    cfg = cfg_util.load_config(args.cfg_path)
+    cfg = cfg_util.with_extras(cfg)
+
+    train_loader, test_loader = build_loaders(cfg, args.mode)
+
+    model = registry.build_model(cfg)
+
+    save_path = ""
+    if args.with_logging:
+        ts = time.strftime("%y-%m-%d_%H-%M-%S", time.gmtime())
+        save_path = cfg_util.run_dir_name(cfg, ts)
+        if args.mode != "test":
+            os.makedirs(save_path, exist_ok=True)
+            cfg["extras"]["save_path"] = save_path
+            cfg_util.save_config(
+                {k: v for k, v in cfg.items() if k != "extras"},
+                os.path.join(save_path, "config.yaml"))
+
+    tp = cfg["train_params"]
+    num_epochs = int(tp.get("num_epochs", 50)) + \
+        int(tp.get("num_warmup_epochs", 0))
+    ls = cfg.get("logging_settings", {})
+
+    if args.mode == "train":
+        trainer = Trainer(model, cfg, logging=args.with_logging,
+                          save_path=save_path)
+        batch0 = next(iter(train_loader))
+        state = trainer.create_state(
+            batch0, num_epochs=num_epochs,
+            steps_per_epoch=len(train_loader),
+            pretrained=cfg["model_settings"].get("pretrained"))
+        print("num_params:",
+              registry.count_parameters(state.params) / 1e6, "M")
+        state, history = trainer.fit(
+            state, train_loader, test_loader, num_epochs=num_epochs,
+            test_every=int(ls.get("test_every_nth_epoch", 2)),
+            save_every=int(ls.get("save_every_nth_epoch", 2)))
+        for h in history[-3:]:
+            print(h)
+    else:
+        tester = Tester(model, cfg, logging=args.with_logging,
+                        out_dir=save_path or ".",
+                        checkpoint=cfg["model_settings"].get("pretrained"))
+        result = tester.run(test_loader, mc_samples=args.mc_samples)
+        print("mIoU:", result.get("mIoU"))
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Train/test script (TPU-native SemanticLiDARUnc)")
+    parser.add_argument("--visualization", type=bool, default=False,
+                        help="Toggle visualization during training")
+    parser.add_argument("--with_logging", type=bool, default=True,
+                        help="Toggle logging (weights + tensorboard)")
+    parser.add_argument("--cfg_path", type=str,
+                        default="configs/SemanticKitti_default.yaml",
+                        help="Path to the config file")
+    parser.add_argument("--mode", type=str, default="train",
+                        help="'train' or 'test'")
+    parser.add_argument("--mc_samples", type=int, default=30,
+                        help="MC samples for --mode test")
+    return parser.parse_args(argv)
+
+
+if __name__ == "__main__":
+    main(parse_args())

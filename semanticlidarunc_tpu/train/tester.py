@@ -1,0 +1,207 @@
+"""Tester: standalone evaluation driver with an outputs-summary cache.
+
+Port of /root/reference/src/models/tester.py. Behavior parity:
+- loads a checkpoint, runs the full eval loop (plain / Dirichlet / MC paths
+  via the Trainer's compiled eval step), writes result_dict.json with
+  NaN -> null (:210-236) and the plot set (acc-vs-unc, ECE, ROC, ROC-MI,
+  ridgeline, boxplot + risk-coverage; :658-720);
+- outputs-summary cache: all aggregator sufficient statistics are serialized
+  to `outputs_summary/summary_<name>.npz`; a rerun over the same frame count
+  restores them and skips inference entirely (:301-365, 615-654). Because our
+  aggregators are fixed-shape histograms (not reservoirs) the cache is a few
+  hundred KB instead of many-million-row tensors.
+"""
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+
+import jax
+import numpy as np
+
+from ..metrics import uncertainty as unc_m
+from . import checkpoint as ckpt
+from .trainer import Trainer
+
+
+def _clean_nans(obj):
+    if isinstance(obj, dict):
+        return {k: _clean_nans(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_clean_nans(v) for v in obj]
+    if isinstance(obj, float):
+        return None if math.isnan(obj) else obj
+    return obj
+
+
+class Tester:
+    def __init__(self, model, cfg: dict, checkpoint: str | None = None,
+                 logging: bool = False, out_dir: str = "", seed: int = 0):
+        self.cfg = cfg
+        self.logging = logging
+        self.out_dir = out_dir or cfg["extras"].get("save_path", "") or "."
+        self.checkpoint = checkpoint
+        self.trainer = Trainer(model, cfg, seed=seed)
+        self.unc_agg = unc_m.UncertaintyPerClassAggregator(
+            num_classes=self.trainer.num_classes)
+        self.ua_agg = unc_m.UncertaintyAccuracyAggregator()
+        self.variables = None
+        self._restore_report = None
+
+    def _load_variables(self, sample_batch):
+        state = self.trainer.create_state(sample_batch, num_epochs=1,
+                                          steps_per_epoch=1,
+                                          pretrained=self.checkpoint)
+        self.state = state
+        if self.checkpoint:
+            print(f"[Tester] checkpoint: {self.checkpoint}")
+        return state
+
+    # ---------- outputs-summary cache ----------
+    def _cache_path(self, epoch_name: str) -> str:
+        d = os.path.join(self.out_dir, "outputs_summary")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"summary_{epoch_name}.npz")
+
+    def _save_cache(self, path: str, n_frames: int):
+        t = self.trainer
+        np.savez_compressed(
+            path, n_frames=n_frames, confmat=t.iou_evaluator.confmat,
+            ece_count=t.ece_eval.count, ece_conf=t.ece_eval.s_conf,
+            ece_corr=t.ece_eval.s_corr,
+            roc_err=t.auroc_eval.h_err, roc_ok=t.auroc_eval.h_ok,
+            roc_mi_err=t.auroc_eval_mi.h_err, roc_mi_ok=t.auroc_eval_mi.h_ok,
+            rc_cnt=t.aurc_eval.cnt, rc_err=t.aurc_eval.err,
+            unc_hist=self.unc_agg.hist,
+            ua_cnt=self.ua_agg.cnt, ua_cor=self.ua_agg.cor)
+
+    def _try_load_cache(self, path: str, n_frames: int) -> bool:
+        if not os.path.exists(path):
+            return False
+        try:
+            z = np.load(path)
+            if int(z["n_frames"]) != n_frames:
+                return False
+            t = self.trainer
+            t.iou_evaluator.confmat = z["confmat"].astype(np.int64)
+            t.ece_eval.count, t.ece_eval.s_conf, t.ece_eval.s_corr = \
+                z["ece_count"], z["ece_conf"], z["ece_corr"]
+            t.auroc_eval.h_err, t.auroc_eval.h_ok = z["roc_err"], z["roc_ok"]
+            t.auroc_eval_mi.h_err, t.auroc_eval_mi.h_ok = \
+                z["roc_mi_err"], z["roc_mi_ok"]
+            t.aurc_eval.cnt, t.aurc_eval.err = z["rc_cnt"], z["rc_err"]
+            self.unc_agg.hist = z["unc_hist"]
+            self.ua_agg.cnt, self.ua_agg.cor = z["ua_cnt"], z["ua_cor"]
+            print(f"[Tester] restored outputs summary from {path}; "
+                  "skipping inference")
+            return True
+        except Exception as e:  # noqa: BLE001 — cache falls back to recompute
+            print(f"[Tester] cache load failed ({e}); recomputing")
+            return False
+
+    # ---------- main ----------
+    def run(self, dataloader_test, mc_samples: int | None = None,
+            epoch_name: str | None = None):
+        t = self.trainer
+        if mc_samples is not None and t.use_mc_sampling:
+            t.mc_samples = int(mc_samples)
+        if epoch_name is None:
+            base = os.path.basename(self.checkpoint or "model")
+            epoch_name = os.path.splitext(base)[0] or "model"
+
+        batches = list(dataloader_test) if not hasattr(
+            dataloader_test, "__len__") else None
+        loader = batches if batches is not None else dataloader_test
+        n_frames = sum(1 for _ in iter(loader)) if batches is not None else \
+            len(dataloader_test)
+
+        for agg in (t.iou_evaluator, t.ece_eval, t.auroc_eval,
+                    t.auroc_eval_mi, t.aurc_eval, self.unc_agg, self.ua_agg):
+            agg.reset()
+
+        cache = self._cache_path(epoch_name)
+        ran_inference = False
+        infer_ms = []
+        if not self._try_load_cache(cache, n_frames):
+            ran_inference = True
+            first = None
+            for batch in iter(loader):
+                if first is None:
+                    first = batch
+                    self._load_variables(batch)
+                t.rng, eval_rng = jax.random.split(t.rng)
+                t0 = time.perf_counter()
+                out = t._eval_step(self.state.params, self.state.batch_stats,
+                                   batch, eval_rng)
+                out = jax.device_get(out)
+                infer_ms.append((time.perf_counter() - t0) * 1e3)
+                t.iou_evaluator.update_confmat(out["confmat"])
+                t.ece_eval.update_stats(*out["ece"])
+                t.auroc_eval.update_stats(*out["roc"])
+                t.auroc_eval_mi.update_stats(*out["roc_mi"])
+                t.aurc_eval.cnt += np.asarray(out["rc"][0], np.float64)
+                t.aurc_eval.err += np.asarray(out["rc"][1], np.float64)
+                self.unc_agg.update_stats(out["class_unc"])
+                self.ua_agg.update_stats(*out["ua"])
+            self._save_cache(cache, n_frames)
+
+        miou, per_class = t.iou_evaluator.compute(
+            class_names=t.class_names, test_mask=t.test_mask,
+            ignore_gt=[t.ignore_index])
+        os.makedirs(self.out_dir, exist_ok=True)
+        (ece, mce), _ = t.ece_eval.compute(
+            save_plot_path=os.path.join(self.out_dir,
+                                        f"ece_{epoch_name}.png"))
+        auroc, _ = t.auroc_eval.compute(
+            save_plot_path=os.path.join(self.out_dir,
+                                        f"roc_{epoch_name}.png"))
+        auroc_mi, _ = t.auroc_eval_mi.compute(
+            save_plot_path=os.path.join(self.out_dir,
+                                        f"roc_mi_{epoch_name}.png"))
+        rc = t.aurc_eval.compute()
+        self.ua_agg.plot(save_path=os.path.join(
+            self.out_dir, f"acc_vs_unc_{epoch_name}.png"))
+        if t.class_names:
+            cmap = self.cfg["extras"].get("class_colors", {})
+            self.unc_agg.plot_ridgeline(
+                t.class_names, cmap, ignore_ids=(0,),
+                save_path=os.path.join(self.out_dir,
+                                       f"ridgeline_{epoch_name}.png"))
+            self.unc_agg.plot_boxplot(
+                t.class_names, cmap, ignore_ids=(0,),
+                save_path=os.path.join(self.out_dir,
+                                       f"unc_boxplot_{epoch_name}.png"))
+            unc_m.plot_iou_sorted_by_uncertainty(
+                per_class, self.unc_agg.class_stats(ignore_ids=(0,)),
+                t.class_names, cmap,
+                save_path=os.path.join(self.out_dir,
+                                       f"iou_by_unc_{epoch_name}.png"))
+
+        result = dict(per_class)
+        result["mIoU"] = miou
+        self.save_results(result, self.out_dir, extra={
+            "ECE": ece, "MCE": mce, "AUROC": auroc, "AUROC_MI": auroc_mi,
+            "AURC": rc["AURC"], "EAURC": rc["EAURC"],
+            "top_k_error_recall": {int(k): float(v) for k, v in
+                                   zip(rc["ks"], rc["recalls"])},
+            "median_inference_ms": (float(np.median(infer_ms))
+                                    if infer_ms else None),
+            "ran_inference": ran_inference,
+        })
+        return result
+
+    def save_results(self, result_dict, out_dir, extra=None):
+        per_class = {k: v for k, v in result_dict.items() if k != "mIoU"}
+        out = {"iou": per_class, "mIoU": result_dict.get("mIoU"),
+               "checkpoint": self.checkpoint}
+        if extra:
+            out.update(extra)
+        out = _clean_nans(out)
+        path = os.path.join(out_dir, "result_dict.json")
+        os.makedirs(out_dir, exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(out, f, indent=4)
+        print(f"Saved results to {path}")
+        return path

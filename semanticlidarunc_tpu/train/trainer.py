@@ -35,6 +35,7 @@ from ..metrics import aurc as aurc_m
 from ..metrics import auroc as auroc_m
 from ..metrics import ece as ece_m
 from ..metrics import iou as iou_m
+from ..metrics import uncertainty as unc_m
 from ..models import registry
 from ..prob import dirichlet as pdl
 from ..prob import mc_dropout as mc
@@ -303,9 +304,14 @@ class Trainer:
                 mi_norm, preds, labels, ignore_index=self.ignore_index)
             rc_cnt, rc_err = aurc_m.rc_histograms(
                 conf, preds, labels, ignore_index=self.ignore_index)
+            valid = labels != self.ignore_index
+            cls_unc = unc_m.class_uncertainty_histograms(labels, h_norm, nc)
+            ua_cnt, ua_cor = unc_m.acc_vs_uncertainty_bins(
+                h_norm, preds == labels, valid)
             return {"confmat": cm, "ece": (e_cnt, e_conf, e_corr),
                     "roc": (he, ho), "roc_mi": (he_mi, ho_mi),
-                    "rc": (rc_cnt, rc_err)}
+                    "rc": (rc_cnt, rc_err), "class_unc": cls_unc,
+                    "ua": (ua_cnt, ua_cor)}
 
         self._eval_step = jax.jit(eval_step)
         self._terms_of_params = terms_of_params

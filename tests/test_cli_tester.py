@@ -1,0 +1,59 @@
+"""CLI + Tester end-to-end smoke on the synthetic config."""
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+
+@pytest.fixture(scope="module")
+def smoke_cfg(tmp_path_factory):
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = yaml.safe_load(open(os.path.join(root, "configs",
+                                           "Synthetic_smoke.yaml")))
+    cfg["model_settings"]["projection"] = [32, 64]
+    cfg["train_params"]["num_epochs"] = 1
+    cfg["logging_settings"]["log_dir"] = str(
+        tmp_path_factory.mktemp("runs"))
+    p = tmp_path_factory.mktemp("cfg") / "smoke.yaml"
+    yaml.safe_dump(cfg, open(p, "w"))
+    return str(p)
+
+
+def test_cli_train_then_test(smoke_cfg, tmp_path):
+    from semanticlidarunc_tpu.cli.train_semantics import main, parse_args
+
+    main(parse_args(["--cfg_path", smoke_cfg, "--mode", "train"]))
+
+    cfg = yaml.safe_load(open(smoke_cfg))
+    log_dir = cfg["logging_settings"]["log_dir"]
+    finals = []
+    for dirpath, dirnames, _ in os.walk(log_dir):
+        finals += [os.path.join(dirpath, d) for d in dirnames
+                   if d == "model_final"]
+    assert finals, "no final checkpoint written"
+
+    cfg["model_settings"]["pretrained"] = finals[0]
+    test_cfg = tmp_path / "test.yaml"
+    yaml.safe_dump(cfg, open(test_cfg, "w"))
+    main(parse_args(["--cfg_path", str(test_cfg), "--mode", "test"]))
+
+    results = []
+    for dirpath, _, files in os.walk(log_dir):
+        results += [os.path.join(dirpath, f) for f in files
+                    if f == "result_dict.json"]
+    assert results
+    res = json.load(open(results[0]))
+    assert "mIoU" in res and "ECE" in res and "AUROC" in res
+    assert res["checkpoint"] == finals[0]
+
+
+def test_config_yaml_files_parse():
+    from semanticlidarunc_tpu.utils import config as cfg_util
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg_dir = os.path.join(root, "configs")
+    for name in os.listdir(cfg_dir):
+        cfg = cfg_util.load_config(os.path.join(cfg_dir, name))
+        cfg = cfg_util.with_extras(cfg)
+        assert cfg["extras"]["num_classes"] in (20, 21, 22), name
