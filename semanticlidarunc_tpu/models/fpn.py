@@ -48,9 +48,11 @@ class SemanticFPN(nn.Module):
     dtype: Dtype = jnp.float32
 
     def setup(self):
-        bb, base = backbones.make_backbone(self.backbone, self.meta_channels,
+        bb, spec = backbones.make_backbone(self.backbone, self.meta_channels,
                                            dtype=self.dtype)
         self.trunk = bb
+        self.spec = spec
+        base = spec["base_channels"]
         self.base_channels = base
         self.fpn_block4 = ConvBN(base[1], dtype=self.dtype)
         self.fpn_block3 = ConvBN(base[2], dtype=self.dtype)
@@ -61,8 +63,9 @@ class SemanticFPN(nn.Module):
             self.attention3 = SpatialAttention(dtype=self.dtype)
             self.attention2 = SpatialAttention(dtype=self.dtype)
             self.attention1 = SpatialAttention(dtype=self.dtype)
-        scales = (8, 4, 2)
-        out_chs = (base[1] // 8, base[2] // 4, base[3] // 2)
+        scales = spec.get("scales", (8, 4, 2))
+        out_chs = (base[1] // scales[0], base[2] // scales[1],
+                   base[3] // scales[2])
         self.upsample_x4 = UpsampleBlock(out_chs[0], scale=scales[0], dtype=self.dtype)
         self.upsample_x3 = UpsampleBlock(out_chs[1], scale=scales[1], dtype=self.dtype)
         self.upsample_x2 = UpsampleBlock(out_chs[2], scale=scales[2], dtype=self.dtype)
@@ -81,6 +84,12 @@ class SemanticFPN(nn.Module):
             metas = None
         x_in = jnp.concatenate([x, meta], axis=-1).astype(self.dtype)
         _, x1, x2, x3, x4 = self.trunk(x_in, metas, train=train)
+        if self.spec.get("layer4_is_meta_concat") and metas is not None:
+            # efficientnet_v2 quirk: the deepest "stage" is x3 with the meta
+            # image re-concatenated (reference semanticFCN_opt.py:396-404)
+            x4 = jnp.concatenate(
+                [x3[..., : x3.shape[-1] - self.meta_channels],
+                 metas[2].astype(x3.dtype)], axis=-1)
         x4 = self.fpn_block4(x4, train=train)
         x3 = self.fpn_block3(x3, train=train)
         x2 = self.fpn_block2(x2, train=train)

@@ -66,7 +66,10 @@ def test_fpn_head_stochasticity():
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o1b))
 
 
-@pytest.mark.parametrize("backbone", ["resnet18", "resnet50"])
+@pytest.mark.parametrize("backbone", ["resnet18", "resnet50",
+                                      "shufflenet_v2_x1_0",
+                                      "regnet_y_400mf",
+                                      "efficientnet_v2_s", "squeezenet1_0"])
 def test_backbone_variants(backbone):
     m = SemanticFPN(num_classes=4, backbone=backbone,
                     input_channels=1, meta_channels=3)
