@@ -1,0 +1,244 @@
+"""CENet baseline (HarDNet or ResNet-34 trunk, optional aux heads).
+
+Port of /root/reference/src/baselines/CENet/{CENet,CENet_ResNet34,
+CENet_HardDNet}.py in flax/NHWC. Both trunks keep full resolution through the
+stem, downsample 3x, upsample all scales back with align-corners bilinear,
+and emit softmax PROBABILITIES (the reference applies softmax in-model);
+with aux=True the forward returns [out, res_a, res_b, res_c] for the
+multi-scale auxiliary loss (CENet trainer.py:104-110).
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+def _leaky(x):
+    return nn.leaky_relu(x, negative_slope=0.01)
+
+
+def resize_align_corners(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Bilinear resize with torch align_corners=True semantics (corner pixels
+    map exactly; jax.image.resize only offers half-pixel centers)."""
+    b, h, w, c = x.shape
+    if h == out_h and w == out_w:
+        return x
+
+    def grid(n_in, n_out):
+        if n_out == 1 or n_in == 1:
+            return jnp.zeros((n_out,), jnp.float32)
+        return jnp.linspace(0.0, n_in - 1.0, n_out)
+
+    ys = grid(h, out_h)
+    xs = grid(w, out_w)
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    wy = (ys - y0.astype(jnp.float32))[None, :, None, None].astype(x.dtype)
+    wx = (xs - x0.astype(jnp.float32))[None, None, :, None].astype(x.dtype)
+    top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
+    bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+class BasicConv(nn.Module):
+    features: int
+    kernel: int = 3
+    dilation: int = 1
+    relu: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    kernel_dilation=(self.dilation, self.dilation),
+                    use_bias=False, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype)(x)
+        return _leaky(x) if self.relu else x
+
+
+class LeakyBasicBlock(nn.Module):
+    features: int
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        def bn():
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, dtype=self.dtype)
+        identity = x
+        y = nn.Conv(self.features, (3, 3), (self.stride, self.stride),
+                    use_bias=False, dtype=self.dtype)(x)
+        y = _leaky(bn()(y))
+        y = nn.Conv(self.features, (3, 3), use_bias=False, dtype=self.dtype)(y)
+        y = bn()(y)
+        if self.stride != 1 or identity.shape[-1] != self.features:
+            identity = nn.Conv(self.features, (1, 1),
+                               (self.stride, self.stride), use_bias=False,
+                               dtype=self.dtype)(identity)
+            identity = bn()(identity)
+        return _leaky(y + identity)
+
+
+class CENetResNet34(nn.Module):
+    """ResNet_34 trunk (reference CENet_ResNet34.py:91-198)."""
+    num_classes: int
+    aux: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, stochastic: bool | None = None):
+        d = self.dtype
+        x = x.astype(d)
+        x = BasicConv(64, dtype=d)(x, train)
+        x = BasicConv(128, dtype=d)(x, train)
+        x = BasicConv(128, dtype=d)(x, train)
+        h, w = x.shape[1], x.shape[2]
+
+        def stage(z, n, stride):
+            z = LeakyBasicBlock(128, stride, d)(z, train)
+            for _ in range(n - 1):
+                z = LeakyBasicBlock(128, 1, d)(z, train)
+            return z
+
+        x1 = stage(x, 3, 1)
+        x2 = stage(x1, 4, 2)
+        x3 = stage(x2, 6, 2)
+        x4 = stage(x3, 3, 2)
+        r2 = resize_align_corners(x2, h, w)
+        r3 = resize_align_corners(x3, h, w)
+        r4 = resize_align_corners(x4, h, w)
+        out = jnp.concatenate([x, x1, r2, r3, r4], axis=-1)
+        out = BasicConv(256, dtype=d)(out, train)
+        out = BasicConv(128, dtype=d)(out, train)
+        out = nn.Conv(self.num_classes, (1, 1), dtype=d)(out)
+        out = jax.nn.softmax(out.astype(jnp.float32), axis=-1)
+        if not self.aux:
+            return out
+        heads = [jax.nn.softmax(nn.Conv(self.num_classes, (1, 1),
+                                        dtype=d)(r).astype(jnp.float32), -1)
+                 for r in (r2, r3, r4)]
+        return [out] + heads
+
+
+def hard_link(layer: int, base_ch: int, growth: int, grmul: float):
+    """(out_ch, in_ch, links) for a HarDBlock layer (CENet_HardDNet.py:
+    124-143) — pure static arithmetic evaluated at trace time."""
+    if layer == 0:
+        return base_ch, 0, []
+    out_channels = float(growth)
+    link = []
+    for i in range(10):
+        dv = 2 ** i
+        if layer % dv == 0:
+            link.append(layer - dv)
+            if i > 0:
+                out_channels *= grmul
+    out_channels = int(int(out_channels + 1) / 2) * 2
+    in_channels = sum(hard_link(i, base_ch, growth, grmul)[0] for i in link)
+    return out_channels, in_channels, link
+
+
+class HarDBlock(nn.Module):
+    in_channels: int
+    growth: int = 16
+    grmul: float = 1.6
+    n_layers: int = 8
+    dtype: Dtype = jnp.float32
+
+    @property
+    def out_channels(self) -> int:
+        total = 0
+        for i in range(self.n_layers):
+            outch, _, _ = hard_link(i + 1, self.in_channels, self.growth,
+                                    self.grmul)
+            if (i % 2 == 0) or (i == self.n_layers - 1):
+                total += outch
+        return total
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        layers = [x]
+        for i in range(self.n_layers):
+            outch, _, link = hard_link(i + 1, self.in_channels, self.growth,
+                                       self.grmul)
+            tin = [layers[j] for j in link]
+            z = jnp.concatenate(tin, -1) if len(tin) > 1 else tin[0]
+            z = BasicConv(outch, dtype=self.dtype)(z, train)
+            layers.append(z)
+        keep = [layers[i] for i in range(len(layers))
+                if i == len(layers) - 1 or i % 2 == 1]
+        return jnp.concatenate(keep, axis=-1)
+
+
+class CENetHarDNet(nn.Module):
+    """HarDNet trunk (reference CENet_HardDNet.py:188-330)."""
+    num_classes: int
+    aux: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, stochastic: bool | None = None):
+        d = self.dtype
+        x = x.astype(d)
+        first_ch = (64, 128, 128)
+        ch_list = (128, 128, 128, 128)
+        down = (0, 1, 1, 1)
+        x = BasicConv(first_ch[0], dtype=d)(x, train)
+        x = BasicConv(first_ch[1], dtype=d)(x, train)
+        x = BasicConv(first_ch[2], dtype=d)(x, train)
+        h, w = x.shape[1], x.shape[2]
+        shortcuts = [x]
+        ch = first_ch[2]
+        for i in range(4):
+            if down[i]:
+                x = nn.avg_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)),
+                                count_include_pad=True)
+            blk = HarDBlock(ch, 16, 1.6, 8, dtype=d)
+            x = blk(x, train)
+            if i < 3:
+                shortcuts.append(x)
+            ch = blk.out_channels
+            x = BasicConv(ch_list[i], kernel=1, dtype=d)(x, train)
+            ch = ch_list[i]
+        r1, r2 = shortcuts[0], shortcuts[1]
+        r3 = resize_align_corners(shortcuts[2], h, w)
+        r4 = resize_align_corners(shortcuts[3], h, w)
+        r5 = resize_align_corners(x, h, w)
+        out = jnp.concatenate([r1, r2, r3, r4, r5], axis=-1)
+        out = BasicConv(256, dtype=d)(out, train)
+        out = BasicConv(128, dtype=d)(out, train)
+        out = nn.Conv(self.num_classes, (1, 1), dtype=d)(out)
+        out = jax.nn.softmax(out.astype(jnp.float32), axis=-1)
+        if not self.aux:
+            return out
+        heads = [jax.nn.softmax(nn.Conv(self.num_classes, (1, 1),
+                                        dtype=d)(r).astype(jnp.float32), -1)
+                 for r in (r3, r4, r5)]
+        return [out] + heads
+
+
+class CENet(nn.Module):
+    """Wrapper choosing the trunk (reference CENet.py:7-26)."""
+    num_classes: int
+    aux: bool = True
+    model: str = "HarDNet"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, stochastic: bool | None = None):
+        if self.model == "HarDNet":
+            net = CENetHarDNet(self.num_classes, self.aux, self.dtype)
+        elif self.model == "ResNet_34":
+            net = CENetResNet34(self.num_classes, self.aux, self.dtype)
+        else:
+            raise ValueError(f"Unknown CENet trunk: {self.model}")
+        return net(x, train=train)

@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from . import backbones
@@ -45,6 +46,9 @@ class SemanticFPN(nn.Module):
     attention: bool = True
     multi_scale_meta: bool = True
     pyramid_dropout: float = 0.1
+    # "none" -> raw logits (semanticFCN_opt); "elu_plus_one" -> positive
+    # outputs for direct alpha regression (legacy semanticFCN.py:237-246,352)
+    head_activation: str = "none"
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -110,7 +114,10 @@ class SemanticFPN(nn.Module):
         y = self.dec1(y)
         y = self.dec2(y)
         y = self.dec_up(y)
-        return self.logits_conv(y).astype(jnp.float32)
+        out = self.logits_conv(y).astype(jnp.float32)
+        if self.head_activation == "elu_plus_one":
+            out = jax.nn.elu(out) + 1.0
+        return out
 
     def __call__(self, x, meta, train: bool = False, stochastic: bool | None = None):
         stochastic = train if stochastic is None else stochastic

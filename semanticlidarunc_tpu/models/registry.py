@@ -28,11 +28,29 @@ def build_model(cfg: dict, num_classes: int | None = None, dtype=jnp.float32):
             meta_channels=meta_ch,
             attention=bool(ms.get("attention", True)),
             multi_scale_meta=bool(ms.get("multi_scale_meta", True)),
+            head_activation=str(ms.get("head_activation", "none")),
             dtype=dtype,
         )
     if baseline in ("SalsaNext", "SalsaNextAdf"):
         return SalsaNext(num_classes=n, dtype=dtype)
+    if baseline == "CENet":
+        from .cenet import CENet
+        trunk = ms.get("model_type", "HarDNet")
+        if trunk not in ("HarDNet", "ResNet_34"):
+            trunk = "HarDNet"
+        return CENet(num_classes=n, aux=bool(ms.get("aux", True)),
+                     model=trunk, dtype=dtype)
+    if baseline == "FIDNet":
+        from .fidnet import FIDNet
+        return FIDNet(num_classes=n, dtype=dtype)
     raise ValueError(f"Unknown baseline: {baseline}")
+
+
+def model_output_kind(cfg: dict) -> str:
+    """'probs' for CENet (softmax in-model, reference CENet_ResNet34.py:174),
+    'logits' for everything else."""
+    return "probs" if cfg["model_settings"].get("baseline") == "CENet" \
+        else "logits"
 
 
 def set_model_inputs(range_img, reflectivity, xyz, normals, cfg):
@@ -54,6 +72,13 @@ def set_model_inputs(range_img, reflectivity, xyz, normals, cfg):
     if baseline == "reichert":
         meta = jnp.concatenate([xyz, normals], axis=-1) if ms.get("normals", 0) else xyz
         return [jnp.concatenate(main, axis=-1), meta]
+    if baseline in ("cenet", "fidnet"):
+        # reference baseline trainers feed cat[range, reflectivity, xyz]
+        # (CENet trainer.py:91); normals optional
+        main.append(xyz)
+        if ms.get("normals", 0):
+            main.append(normals)
+        return [jnp.concatenate(main, axis=-1)]
     raise ValueError(f"Unknown baseline: {ms.get('baseline')}")
 
 

@@ -155,7 +155,12 @@ class Trainer:
             raise NotImplementedError(
                 f"Unknown loss function: {self.loss_name}")
 
+        self.model_act = registry.model_output_kind(self.cfg)
         if self.loss_name != "Dirichlet":
+            if self.baseline == "CENet" and \
+                    self.cfg["model_settings"].get("aux", True) and \
+                    self.loss_name in ("CE", "Tversky", "Lovasz"):
+                self.base_weights["aux"] = 1.0
             self.active_terms = tuple(sorted(self.base_weights))
             self.current_weights = {k: float(v)
                                     for k, v in self.base_weights.items()}
@@ -182,13 +187,34 @@ class Trainer:
     def _loss_terms(self, outputs, labels):
         """dict of scalar loss terms for the configured loss function."""
         ii = self.ignore_index
+        aux_outputs = []
+        if isinstance(outputs, (list, tuple)):
+            # CENet-style multi-scale aux heads (reference CENet trainer.py:
+            # 104-110): main loss + unit-weight sum of aux CE+Tversky terms
+            outputs, aux_outputs = outputs[0], list(outputs[1:])
+        act = self.model_act
         if self.loss_name == "Tversky":
-            return {"ce": seg.cross_entropy(outputs, labels, ii),
-                    "tversky": seg.tversky(outputs, labels, ignore_index=ii)}
+            terms = {"ce": seg.cross_entropy(outputs, labels, ii, act),
+                     "tversky": seg.tversky(outputs, labels, ignore_index=ii,
+                                            model_act=act)}
+            if aux_outputs:
+                terms["aux"] = sum(
+                    seg.cross_entropy(a, labels, ii, act) +
+                    seg.tversky(a, labels, ignore_index=ii, model_act=act)
+                    for a in aux_outputs)
+            return terms
         if self.loss_name == "CE":
-            return {"ce": seg.cross_entropy(outputs, labels, ii)}
+            terms = {"ce": seg.cross_entropy(outputs, labels, ii, act)}
+            if aux_outputs:
+                terms["aux"] = sum(seg.cross_entropy(a, labels, ii, act)
+                                   for a in aux_outputs)
+            return terms
         if self.loss_name == "Lovasz":
-            return {"lovasz": lv.lovasz_softmax(outputs, labels, ii)}
+            terms = {"lovasz": lv.lovasz_softmax(outputs, labels, ii, act)}
+            if aux_outputs:
+                terms["aux"] = sum(lv.lovasz_softmax(a, labels, ii, act)
+                                   for a in aux_outputs)
+            return terms
         if self.loss_name == "SalsaNext":
             # reference trains on softmax probs: NLL(log p) + Lovasz(probs)
             # over ALL pixels (torch NLLLoss default has no ignore_index
@@ -221,7 +247,10 @@ class Trainer:
         return {k: fns[k]() for k in self.active_terms}
 
     def predictions_from_outputs(self, outputs):
-        """Class logits used for argmax/eval (shape head for Dirichlet)."""
+        """Class logits used for argmax/eval (shape head for Dirichlet;
+        main head for aux-output models)."""
+        if isinstance(outputs, (list, tuple)):
+            outputs = outputs[0]
         if self.loss_name == "Dirichlet":
             return outputs[..., :self.num_classes]
         return outputs
@@ -276,6 +305,8 @@ class Trainer:
             else:
                 outputs, _ = self._forward(state_params, batch_stats, batch,
                                            train=False)
+                if isinstance(outputs, (list, tuple)):
+                    outputs = outputs[0]
                 if self.loss_name == "Dirichlet":
                     sh, sc = pdl.split_dirichlet_logits(outputs, nc)
                     alpha = pdl.to_alpha_shape_scale(sh, sc)
@@ -285,7 +316,7 @@ class Trainer:
                     conf = jnp.max(pdl.mean_probs(alpha), axis=-1)
                     mode = "alpha"
                 else:
-                    p = jax.nn.softmax(outputs, axis=-1)
+                    p = seg.to_probs(outputs, self.model_act)
                     evalu = p
                     h_norm = -jnp.sum(jnp.clip(p, 1e-12) *
                                       jnp.log(jnp.clip(p, 1e-12)),
