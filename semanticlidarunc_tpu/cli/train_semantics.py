@@ -43,9 +43,49 @@ def build_loaders(cfg, args_mode: str):
     return train_loader, test_loader
 
 
+def calibrate(cfg, model, test_loader, checkpoint: str | None):
+    """Fit a post-hoc temperature on the calibration stream and save it next
+    to the checkpoint (reference temp_scaling.py cache-then-fit flow)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..losses import segmentation as seg
+    from ..models import registry
+    from ..prob import temp_scaling
+    from ..train.trainer import Trainer
+
+    trainer = Trainer(model, cfg)
+    batch0 = next(iter(test_loader))
+    state = trainer.create_state(batch0, num_epochs=1, steps_per_epoch=1,
+                                 pretrained=checkpoint)
+
+    @jax.jit
+    def forward_probs_fn(params, batch_stats, batch):
+        out, _ = trainer._forward(params, batch_stats, batch, train=False)
+        out = trainer.predictions_from_outputs(out)
+        return seg.to_probs(out, trainer.model_act)
+
+    def stream():
+        for batch in test_loader:
+            yield batch
+
+    def forward_probs(batch):
+        p = forward_probs_fn(state.params, state.batch_stats, batch)
+        return p, batch["labels"]
+
+    logits, labels = temp_scaling.cache_calib_outputs(
+        forward_probs, stream(), ignore_index=trainer.ignore_index)
+    out_path = os.path.join(os.path.dirname(checkpoint or "."),
+                            "temperature.json")
+    T = temp_scaling.calibrate_temperature(logits, labels,
+                                           save_path=out_path)
+    print(f"Calibrated temperature T={T:.4f} -> {out_path}")
+    return T
+
+
 def main(args):
-    assert args.mode in {"train", "test"}, \
-        "Set --mode to one of 'train' or 'test'"
+    assert args.mode in {"train", "test", "calibrate"}, \
+        "Set --mode to one of 'train', 'test' or 'calibrate'"
     from ..models import registry
     from ..train.tester import Tester
     from ..train.trainer import Trainer
@@ -90,6 +130,9 @@ def main(args):
             save_every=int(ls.get("save_every_nth_epoch", 2)))
         for h in history[-3:]:
             print(h)
+    elif args.mode == "calibrate":
+        calibrate(cfg, model, test_loader,
+                  cfg["model_settings"].get("pretrained"))
     else:
         tester = Tester(model, cfg, logging=args.with_logging,
                         out_dir=save_path or ".",

@@ -1,0 +1,107 @@
+"""Fused full-scan inference: a raw point cloud never leaves HBM.
+
+The reference pipeline projects on CPU in DataLoader workers, runs the model
+on GPU, and post-processes on CPU. Here the WHOLE per-scan path is one jitted
+computation (BASELINE.json north star):
+
+  padded points -> spherical projection (deterministic scatter-min)
+               -> range/reflectivity/normals (fused convs)
+               -> model forward (or vmapped MC-dropout with entropy/MI)
+               -> argmax segmentation image
+               -> back-projection to per-point labels (gather at each
+                  point's pixel — the exact inverse of the projection
+                  index map, including for points that lost the
+                  nearest-wins race)
+
+Use `make_scan_segmenter` for deterministic single-pass inference and
+`make_mc_scan_segmenter` for the 20-sample MC-dropout path with per-pixel
+H_norm / MI_norm maps.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from .models import registry
+from .ops import normals as nrm
+from .ops import projection as proj
+from .prob import mc_dropout as mc
+
+
+def preprocess_scan(points: jnp.ndarray, valid: jnp.ndarray, height: int,
+                    width: int, cfg: dict, theta_range=None):
+    """(inputs list, flat_pixel_idx) from an (N, >=4) padded xyzi buffer."""
+    img = proj.spherical_projection(points[:, :4], valid, height, width,
+                                    theta_range=theta_range)
+    xyz = img[..., 0:3]
+    rng_img = jnp.linalg.norm(xyz, axis=-1, keepdims=True)
+    refl = img[..., 3:4]
+    normals = nrm.build_normal_xyz(xyz)
+    inputs = registry.set_model_inputs(rng_img[None], refl[None], xyz[None],
+                                       normals[None], cfg)
+    flat = proj.projection_indices(points[:, 0:3], valid, height, width,
+                                   theta_range)
+    return inputs, flat
+
+
+def back_project(seg_image: jnp.ndarray, flat_idx: jnp.ndarray) -> jnp.ndarray:
+    """Per-point labels from an (H, W) segmentation image: gather each
+    point's pixel (identity inverse of the projection; occluded points get
+    the label of the nearest point in their pixel)."""
+    h, w = seg_image.shape
+    flat = jnp.clip(flat_idx, 0, h * w - 1)
+    return seg_image.reshape(-1)[flat]
+
+
+def make_scan_segmenter(model, variables, cfg: dict, height: int, width: int,
+                        theta_range=None):
+    """jitted: (points [N,>=4], valid [N]) -> (point_labels [N], seg [H,W])."""
+
+    @jax.jit
+    def run(points, valid):
+        inputs, flat = preprocess_scan(points, valid, height, width, cfg,
+                                       theta_range)
+        out = model.apply(variables, *inputs, train=False, stochastic=False)
+        if isinstance(out, (list, tuple)):
+            out = out[0]
+        nc = out.shape[-1]
+        loss_name = cfg["model_settings"].get("loss_function")
+        if loss_name == "Dirichlet":
+            out = out[..., : nc - 1]
+        seg = jnp.argmax(out[0], axis=-1).astype(jnp.int32)
+        return back_project(seg, flat), seg
+
+    return run
+
+
+def make_mc_scan_segmenter(model, variables, cfg: dict, height: int,
+                           width: int, n_samples: int = 20, theta_range=None):
+    """jitted: (points, valid, rng) ->
+    (point_labels, seg [H,W], h_norm [H,W], mi_norm [H,W])."""
+    split = hasattr(model, "features")
+
+    @jax.jit
+    def run(points, valid, rng):
+        inputs, flat = preprocess_scan(points, valid, height, width, cfg,
+                                       theta_range)
+        if split:
+            logits = mc.mc_forward_split(
+                lambda v, *i, **kw: model.apply(v, *i, method=model.features,
+                                                **kw),
+                lambda v, f, **kw: model.apply(v, f, method=model.head, **kw),
+                variables, tuple(inputs), rng, n_samples)
+        else:
+            logits = mc.mc_forward(
+                lambda v, *i, **kw: model.apply(v, *i, **kw),
+                variables, tuple(inputs), rng, n_samples)
+        nc = logits.shape[-1]
+        if cfg["model_settings"].get("loss_function") == "Dirichlet":
+            logits = logits[..., : nc - 1]
+        p_bar, h_norm, mi_norm = mc.mc_summaries(logits)
+        seg = jnp.argmax(p_bar[0], axis=-1).astype(jnp.int32)
+        return back_project(seg, flat), seg, h_norm[0], mi_norm[0]
+
+    return run

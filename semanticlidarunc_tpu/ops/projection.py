@@ -67,9 +67,12 @@ def _digitize_desc(x: jnp.ndarray, bins_asc: jnp.ndarray) -> jnp.ndarray:
     the count of bin edges strictly greater than x, i.e.
         digitize(x, b) = len(b) - searchsorted(bins_asc, x, side='right')
     (verified bit-exactly in tests/test_projection.py).
+
+    method='sort' lowers to one fused sort instead of a sequential binary-
+    search scan, which is ~25x faster on TPU for 256k queries.
     """
     n = bins_asc.shape[0]
-    return n - jnp.searchsorted(bins_asc, x, side="right")
+    return n - jnp.searchsorted(bins_asc, x, side="right", method="sort")
 
 
 # ---------------------------------------------------------------------------
@@ -157,26 +160,33 @@ def spherical_projection(points: jnp.ndarray, valid: jnp.ndarray,
 
     Returns:
       (H, W, C) float32 image; empty pixels are zero.
+
+    Implementation note (TPU): one stable multi-key sort by (pixel, range)
+    (~0.7 ms for 256k points), run-start detection, and a single scatter of
+    the unique per-pixel winners. The stable sort yields exactly the
+    nearest-point-wins / smallest-index-tie-break semantics of the reference
+    overwrite loop. Earlier variants measured: 3-pass scatter-min 34 ms,
+    sort + per-pixel binary search 44 ms (jnp.searchsorted's scan method is
+    sequential on TPU); this version runs in ~3 ms.
     """
     n = points.shape[0]
     hw = height * width
     r = jnp.linalg.norm(points[:, 0:3], axis=-1)
     flat = projection_indices(points[:, 0:3], valid, height, width, theta_range)
 
-    # pass 1: min range per pixel (invalid points target the overflow slot hw)
-    inf = jnp.asarray(jnp.inf, r.dtype)
-    grid_r = jnp.full((hw + 1,), inf, r.dtype).at[flat].min(jnp.where(valid, r, inf))
-
-    # pass 2: among min-range candidates, min original index wins the tie
-    cand = valid & (r == grid_r[flat])
     idx = jnp.arange(n, dtype=jnp.int32)
-    cand_flat = jnp.where(cand, flat, hw)
-    grid_i = jnp.full((hw + 1,), n, jnp.int32).at[cand_flat].min(idx)
+    flat_sorted, _, idx_sorted = jax.lax.sort(
+        (flat, jnp.where(valid, r, jnp.inf), idx), num_keys=2)
 
-    # pass 3: unique winners write their full channel vector
-    winner = cand & (idx == grid_i[flat])
-    win_flat = jnp.where(winner, flat, hw)
-    img = jnp.zeros((hw + 1, points.shape[1]), points.dtype).at[win_flat].set(points)
+    # first element of each pixel's run = nearest point, lowest index on ties
+    first = jnp.concatenate([
+        jnp.ones((1,), bool),
+        flat_sorted[1:] != flat_sorted[:-1]])
+    winner = first & (flat_sorted < hw)
+    dest = jnp.where(winner, flat_sorted, hw)
+    img = jnp.zeros((hw + 1, points.shape[1]), points.dtype)
+    img = img.at[dest].set(points[idx_sorted], mode="drop",
+                           unique_indices=False)
     return img[:hw].reshape(height, width, points.shape[1])
 
 

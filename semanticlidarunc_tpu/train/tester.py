@@ -44,6 +44,15 @@ class Tester:
         self.out_dir = out_dir or cfg["extras"].get("save_path", "") or "."
         self.checkpoint = checkpoint
         self.trainer = Trainer(model, cfg, seed=seed)
+        # apply a previously fitted temperature if one sits next to the ckpt
+        if checkpoint:
+            from ..prob.temp_scaling import load_temperature
+            t_path = os.path.join(os.path.dirname(checkpoint),
+                                  "temperature.json")
+            T = load_temperature(t_path)
+            if T is not None:
+                self.trainer.temperature = T
+                print(f"[Tester] using temperature T={T:.4f} from {t_path}")
         self.unc_agg = unc_m.UncertaintyPerClassAggregator(
             num_classes=self.trainer.num_classes)
         self.ua_agg = unc_m.UncertaintyAccuracyAggregator()

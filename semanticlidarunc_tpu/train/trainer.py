@@ -76,6 +76,9 @@ class Trainer:
         self.class_names = cfg["extras"].get("class_names")
         self.rng = jax.random.PRNGKey(seed)
         self.global_step = 0
+        # optional post-hoc temperature (prob.temp_scaling); captured at the
+        # first eval-step trace, so set it before the first evaluation
+        self.temperature: float | None = None
         self.total_train_steps = total_train_steps or 1
         self.eq_interval = 10
 
@@ -298,7 +301,8 @@ class Trainer:
             if self.use_mc_sampling:
                 logits = self._mc_logits(state_params, batch_stats, batch, rng)
                 p_bar, h_norm, mi_norm = mc.mc_summaries(
-                    self.predictions_from_outputs(logits))
+                    self.predictions_from_outputs(logits),
+                    temperature=self.temperature)
                 evalu = p_bar
                 conf = jnp.max(p_bar, axis=-1)
                 mode = "probs"
@@ -316,6 +320,9 @@ class Trainer:
                     conf = jnp.max(pdl.mean_probs(alpha), axis=-1)
                     mode = "alpha"
                 else:
+                    if self.temperature is not None and \
+                            self.model_act == "logits":
+                        outputs = outputs / max(1e-3, float(self.temperature))
                     p = seg.to_probs(outputs, self.model_act)
                     evalu = p
                     h_norm = -jnp.sum(jnp.clip(p, 1e-12) *
