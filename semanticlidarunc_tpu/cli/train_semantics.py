@@ -121,7 +121,8 @@ def main(args):
         state = trainer.create_state(
             batch0, num_epochs=num_epochs,
             steps_per_epoch=len(train_loader),
-            pretrained=cfg["model_settings"].get("pretrained"))
+            pretrained=cfg["model_settings"].get("pretrained"),
+            resume=args.resume)
         print("num_params:",
               registry.count_parameters(state.params) / 1e6, "M")
         state, history = trainer.fit(
@@ -155,6 +156,9 @@ def parse_args(argv=None):
                         help="'train' or 'test'")
     parser.add_argument("--mc_samples", type=int, default=30,
                         help="MC samples for --mode test")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="Checkpoint dir to resume training from "
+                             "(restores params, optimizer state, and step)")
     return parser.parse_args(argv)
 
 

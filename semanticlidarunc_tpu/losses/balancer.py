@@ -76,6 +76,37 @@ def per_term_grad_norms(terms_fn: Callable, ref_mask) -> Callable:
     return fn
 
 
+def discover_ref_mask(terms_fn: Callable, params, args, min_terms: int = 2,
+                      exclude_bias_norm: bool = True):
+    """Pytree mask of params that receive nonzero gradients from at least
+    `min_terms` loss terms (reference discover_shared_params_from_losses,
+    grad_norm.py:282-320). One jacrev over the stacked terms; run once at
+    init and cache the mask."""
+    base = default_ref_mask(params) if exclude_bias_norm else \
+        jax.tree_util.tree_map(lambda _: True, params)
+
+    def stacked(p):
+        t = terms_fn(p, *args)
+        return jnp.stack([t[k] for k in sorted(t)])
+
+    jac = jax.jit(jax.jacrev(stacked))(params)
+    n_terms = len(jax.tree_util.tree_leaves(jac)[0])
+
+    def leaf_mask(base_leaf, g_leaf):
+        if not base_leaf:
+            return False
+        per_term = jnp.any(
+            (g_leaf != 0.0) & jnp.isfinite(g_leaf),
+            axis=tuple(range(1, g_leaf.ndim)))
+        return int(jnp.sum(per_term)) >= min(min_terms, n_terms)
+
+    mask = jax.tree_util.tree_map(leaf_mask, base, jac,
+                                  is_leaf=lambda x: isinstance(x, bool))
+    if not any(jax.tree_util.tree_leaves(mask)):
+        return base  # fallback: keep the static mask
+    return mask
+
+
 # ---------------------------------------------------------------------------
 # schedules (reference trainer.py:109-152)
 # ---------------------------------------------------------------------------

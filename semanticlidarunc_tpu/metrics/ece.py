@@ -73,23 +73,34 @@ def ece_from_stats(count: np.ndarray, s_conf: np.ndarray, s_corr: np.ndarray):
 
 
 class ECEAggregator:
-    """Streaming top-label ECE/MCE. API-compatible subset of the reference."""
+    """Streaming top-label ECE/MCE. API-compatible subset of the reference.
+
+    Internally accumulates FINE per-bin statistics (default 1050 bins, a
+    multiple of the reporting bins) and aggregates to `n_bins` at compute
+    time, either uniformly or equal-mass ("adaptive", reference
+    ece.py:114-127) — equal-mass edges come from the empirical CDF of the
+    fine confidence histogram.
+    """
 
     def __init__(self, n_bins: int = 15, mode: str = "alpha",
-                 ignore_index: int | None = None, **_ignored):
+                 ignore_index: int | None = None, binning: str = "uniform",
+                 fine_bins: int | None = None, **_ignored):
         assert n_bins >= 2
+        assert binning in {"uniform", "adaptive"}
         self.n_bins = int(n_bins)
+        self.binning = binning
         self.mode = mode
         self.ignore_index = ignore_index
+        self.fine_bins = fine_bins or self.n_bins * 70
         self.reset()
 
     def reset(self):
-        self.count = np.zeros(self.n_bins, np.float64)
-        self.s_conf = np.zeros(self.n_bins, np.float64)
-        self.s_corr = np.zeros(self.n_bins, np.float64)
+        self.count = np.zeros(self.fine_bins, np.float64)
+        self.s_conf = np.zeros(self.fine_bins, np.float64)
+        self.s_corr = np.zeros(self.fine_bins, np.float64)
 
     def update(self, preds, labels):
-        c, sc, sr = ece_bin_stats(preds, labels, n_bins=self.n_bins,
+        c, sc, sr = ece_bin_stats(preds, labels, n_bins=self.fine_bins,
                                   ignore_index=self.ignore_index,
                                   mode=self.mode)
         self.update_stats(c, sc, sr)
@@ -99,21 +110,45 @@ class ECEAggregator:
         self.s_conf += np.asarray(s_conf, np.float64)
         self.s_corr += np.asarray(s_corr, np.float64)
 
+    def _aggregate(self):
+        """(count, s_conf, s_corr, edges) at the reporting resolution."""
+        if self.binning == "uniform" or self.count.sum() == 0:
+            k = self.fine_bins // self.n_bins
+            edges = np.linspace(0.0, 1.0, self.n_bins + 1)
+            agg = lambda a: a.reshape(self.n_bins, k).sum(axis=1)  # noqa: E731
+            return agg(self.count), agg(self.s_conf), agg(self.s_corr), edges
+        # adaptive: equal-mass edges from the fine CDF
+        cdf = np.cumsum(self.count)
+        total = cdf[-1]
+        targets = np.linspace(0.0, 1.0, self.n_bins + 1)[1:-1] * total
+        cut = np.searchsorted(cdf, targets, side="left") + 1
+        cut = np.unique(np.clip(cut, 1, self.fine_bins - 1))
+        bounds = np.concatenate([[0], cut, [self.fine_bins]])
+        if bounds.size < 3:  # degenerate; fall back to uniform
+            self.binning = "uniform"
+            return self._aggregate()
+        edges = bounds / self.fine_bins
+
+        def agg(a):
+            return np.add.reduceat(a, bounds[:-1])
+
+        return agg(self.count), agg(self.s_conf), agg(self.s_corr), edges
+
     def compute(self, save_plot_path: str | None = None,
                 title: str = "Reliability Diagram", dpi: int = 200):
-        ece, mce = ece_from_stats(self.count, self.s_conf, self.s_corr)
+        count, s_conf, s_corr, _ = self._aggregate()
+        ece, mce = ece_from_stats(count, s_conf, s_corr)
         stats = self.stats_dict()
         if save_plot_path is not None:
             self._plot(stats, ece, mce, save_plot_path, title, dpi)
         return (ece, mce), stats
 
     def stats_dict(self):
-        count = self.count
-        acc = np.divide(self.s_corr, count, out=np.full_like(count, np.nan),
+        count, s_conf, s_corr, edges = self._aggregate()
+        acc = np.divide(s_corr, count, out=np.full_like(count, np.nan),
                         where=count > 0)
-        conf = np.divide(self.s_conf, count, out=np.full_like(count, np.nan),
+        conf = np.divide(s_conf, count, out=np.full_like(count, np.nan),
                          where=count > 0)
-        edges = np.linspace(0.0, 1.0, self.n_bins + 1)
         return {
             "low": edges[:-1], "high": edges[1:],
             "center": 0.5 * (edges[:-1] + edges[1:]),

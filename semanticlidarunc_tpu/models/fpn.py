@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 
 from . import backbones
-from .layers import (ConvBN, Dropout2d, GNConv, SpatialAttention,
+from .layers import (ConvBN, Dropout2d, GNConv, QKVAttentionModule,
+                     SpatialAttention,
                      UpsampleBlock, resize_nearest)
 
 Dtype = Any
@@ -49,6 +50,7 @@ class SemanticFPN(nn.Module):
     # "none" -> raw logits (semanticFCN_opt); "elu_plus_one" -> positive
     # outputs for direct alpha regression (legacy semanticFCN.py:237-246,352)
     head_activation: str = "none"
+    attention_type: str = "spatial"    # "spatial" | "qkv" (legacy)
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -63,10 +65,17 @@ class SemanticFPN(nn.Module):
         self.fpn_block2 = ConvBN(base[3], dtype=self.dtype)
         self.fpn_block1 = ConvBN(base[4], dtype=self.dtype)
         if self.attention:
-            self.attention4 = SpatialAttention(dtype=self.dtype)
-            self.attention3 = SpatialAttention(dtype=self.dtype)
-            self.attention2 = SpatialAttention(dtype=self.dtype)
-            self.attention1 = SpatialAttention(dtype=self.dtype)
+            if self.attention_type == "qkv":
+                # legacy tanh query-key attention (semanticFCN.py variant)
+                self.attention4 = QKVAttentionModule(base[1], dtype=self.dtype)
+                self.attention3 = QKVAttentionModule(base[2], dtype=self.dtype)
+                self.attention2 = QKVAttentionModule(base[3], dtype=self.dtype)
+                self.attention1 = QKVAttentionModule(base[4], dtype=self.dtype)
+            else:
+                self.attention4 = SpatialAttention(dtype=self.dtype)
+                self.attention3 = SpatialAttention(dtype=self.dtype)
+                self.attention2 = SpatialAttention(dtype=self.dtype)
+                self.attention1 = SpatialAttention(dtype=self.dtype)
         scales = spec.get("scales", (8, 4, 2))
         out_chs = (base[1] // scales[0], base[2] // scales[1],
                    base[3] // scales[2])

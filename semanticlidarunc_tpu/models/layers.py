@@ -76,6 +76,24 @@ class SpatialAttention(nn.Module):
         return x * wmap + x
 
 
+class QKVAttentionModule(nn.Module):
+    """Legacy tanh query-key attention (reference semanticFCN_opt.py:31-63 /
+    semanticFCN.py AttentionModule): softmax over the CHANNEL axis of a
+    1-channel score map — kept for parity with old checkpoints; the modern
+    SpatialAttention is the default."""
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        q = nn.Conv(self.features, (1, 1), dtype=self.dtype)(x)
+        k = nn.Conv(self.features, (1, 1), dtype=self.dtype)(x)
+        v = nn.Conv(self.features, (1, 1), dtype=self.dtype)(x)
+        score = nn.Conv(1, (1, 1), dtype=self.dtype)(jnp.tanh(q + k))
+        w = jax.nn.softmax(score.astype(jnp.float32), axis=-1).astype(x.dtype)
+        return v * w
+
+
 class GNConv(nn.Module):
     """3x3 conv -> GroupNorm -> ReLU (decoder blocks, semanticFCN_opt.py:304-311)."""
     features: int

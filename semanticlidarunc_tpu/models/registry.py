@@ -29,6 +29,7 @@ def build_model(cfg: dict, num_classes: int | None = None, dtype=jnp.float32):
             attention=bool(ms.get("attention", True)),
             multi_scale_meta=bool(ms.get("multi_scale_meta", True)),
             head_activation=str(ms.get("head_activation", "none")),
+            attention_type=str(ms.get("attention_type", "spatial")),
             dtype=dtype,
         )
     if baseline in ("SalsaNext", "SalsaNextAdf"):

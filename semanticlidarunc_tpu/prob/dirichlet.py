@@ -158,6 +158,39 @@ def entropy_reliability(entropy_norm: jnp.ndarray, error_mask: jnp.ndarray,
     return totals, errors, rate, ece
 
 
+def dirichlet_health(alpha: jnp.ndarray, labels: jnp.ndarray,
+                     ignore_index: int | None = 0, eps: float = EPS) -> dict:
+    """Training-health diagnostics over valid pixels (the reference logs
+    these to TensorBoard every 20 steps, trainer.py:847-948): alpha0
+    percentiles, top-1 alpha share percentiles and >=0.9 fraction, wrong-
+    argmax rate, and H_norm coverage buckets."""
+    valid = jnp.ones(labels.shape, bool) if ignore_index is None \
+        else labels != ignore_index
+    nan = jnp.asarray(jnp.nan, jnp.float32)
+    a0 = alpha.sum(axis=-1)
+    a0_v = jnp.where(valid, a0, nan).reshape(-1)
+    top1 = jnp.max(alpha, axis=-1) / (a0 + eps)
+    top1_v = jnp.where(valid, top1, nan).reshape(-1)
+    qs = jnp.asarray([0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99])
+    a0_q = jnp.nanquantile(a0_v, qs)
+    t1_q = jnp.nanquantile(top1_v, qs)
+    hn = predictive_entropy_norm(alpha, eps)
+    hn_v = jnp.where(valid, hn, nan).reshape(-1)
+    nvalid = jnp.clip(jnp.sum(valid), 1)
+    cover = [jnp.sum(valid & (hn < t)) / nvalid for t in (0.25, 0.5, 0.75)]
+    pred = jnp.argmax(alpha, axis=-1)
+    wrong = jnp.sum(valid & (pred != labels)) / nvalid
+    out = {"wrong_rate": wrong,
+           "top1_ge_0.9": jnp.sum(valid & (top1 >= 0.9)) / nvalid,
+           "H_norm_mean": jnp.nanmean(hn_v)}
+    for i, q in enumerate((1, 5, 25, 50, 75, 95, 99)):
+        out[f"alpha0_p{q:02d}"] = a0_q[i]
+        out[f"top1_p{q:02d}"] = t1_q[i]
+    for t, c in zip((0.25, 0.5, 0.75), cover):
+        out[f"H_norm_lt_{t}"] = c
+    return out
+
+
 def sample_dirichlet(rng: jax.Array, alpha: jnp.ndarray,
                      n_samples: int) -> jnp.ndarray:
     """[M, ..., C] Dirichlet draws via normalized Gamma samples."""

@@ -94,6 +94,8 @@ class Tester:
             if int(z["n_frames"]) != n_frames:
                 return False
             t = self.trainer
+            if z["ece_count"].shape != t.ece_eval.count.shape:
+                return False  # stale cache from a different stat layout
             t.iou_evaluator.confmat = z["confmat"].astype(np.int64)
             t.ece_eval.count, t.ece_eval.s_conf, t.ece_eval.s_corr = \
                 z["ece_count"], z["ece_conf"], z["ece_corr"]

@@ -284,6 +284,13 @@ class Trainer:
             metrics = {"loss": loss,
                        "terms": jnp.stack([terms[k] for k in terms_sorted]),
                        "confmat": cm}
+            if self.loss_name == "Dirichlet":
+                out_main = outputs[0] if isinstance(outputs, (list, tuple)) \
+                    else outputs
+                sh, sc = pdl.split_dirichlet_logits(out_main, nc)
+                alpha = pdl.to_alpha_shape_scale(sh, sc)
+                metrics["health"] = pdl.dirichlet_health(
+                    alpha, labels, self.ignore_index)
             return state, metrics
 
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
@@ -334,8 +341,8 @@ class Trainer:
             preds = jnp.argmax(evalu, axis=-1)
             cm = iou_m.confusion_matrix(preds, labels, nc)
             e_cnt, e_conf, e_corr = ece_m.ece_bin_stats(
-                evalu, labels, n_bins=15, ignore_index=self.ignore_index,
-                mode=mode)
+                evalu, labels, n_bins=self.ece_eval.fine_bins,
+                ignore_index=self.ignore_index, mode=mode)
             he, ho = auroc_m.roc_histograms(h_norm, preds, labels,
                                             ignore_index=self.ignore_index)
             he_mi, ho_mi = auroc_m.roc_histograms(
@@ -377,7 +384,8 @@ class Trainer:
     # ------------------------------------------------------------------
     def create_state(self, sample_batch, num_epochs: int,
                      steps_per_epoch: int,
-                     pretrained: str | None = None) -> TrainState:
+                     pretrained: str | None = None,
+                     resume: str | None = None) -> TrainState:
         tp = self.cfg["train_params"]
         base_lr = float(tp.get("learning_rate", 5e-4))
         eta_min = float(tp.get("learning_rate_min", 5e-6))
@@ -406,6 +414,19 @@ class Trainer:
         state = TrainState.create(
             apply_fn=self.model.apply, params=variables["params"], tx=tx,
             batch_stats=variables.get("batch_stats"))
+
+        if resume:
+            # true resume: params + batch_stats + optimizer state + step
+            target = {"variables": variables,
+                      "opt_state": state.opt_state, "step": 0}
+            restored = ckpt.restore_checkpoint(resume, target)
+            state = state.replace(
+                params=restored["variables"]["params"],
+                batch_stats=restored["variables"].get("batch_stats"),
+                opt_state=restored["opt_state"],
+                step=int(restored["step"]))
+            self.global_step = int(restored["step"])
+            print(f"[Trainer] resumed from {resume} at step {state.step}")
 
         if self.loss_name in ("Dirichlet", "SalsaNext"):
             ref_mask = bal.default_ref_mask(variables["params"])
@@ -501,6 +522,9 @@ class Trainer:
                 for k, g in getattr(self, "_last_raw_g", {}).items():
                     self.writer.add_scalar(f"train/gradnorm_{k}", g,
                                            self.global_step)
+                for k, v in metrics.get("health", {}).items():
+                    self.writer.add_scalar(f"dirichlet/{k}", float(v),
+                                           self.global_step)
             self.global_step += 1
             n_steps += 1
         miou, per_class = self.iou_evaluator.compute(
@@ -578,4 +602,5 @@ class Trainer:
             variables["batch_stats"] = state.batch_stats
         ckpt.save_checkpoint(path, {
             "variables": jax.device_get(variables),
+            "opt_state": jax.device_get(state.opt_state),
             "step": int(state.step)})
