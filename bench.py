@@ -69,12 +69,12 @@ def main():
                            train=False)
 
     def mc_infer(variables, x, meta, key):
-        logits = mc.mc_forward_split(
+        p_bar, h_norm, mi_norm = mc.mc_split_summaries(
             lambda v, *i, **kw: model.apply(v, *i, method=model.features,
                                             **kw),
-            lambda v, f, **kw: model.apply(v, f, method=model.head, **kw),
+            lambda v, f, **kw: model.apply(v, f, method=model.head,
+                                           stochastic=True, **kw),
             variables, (x, meta), key, MC_SAMPLES)
-        p_bar, h_norm, mi_norm = mc.mc_summaries(logits)
         return jnp.argmax(p_bar, -1), h_norm, mi_norm
 
     @jax.jit

@@ -218,3 +218,28 @@ def test_mc_summaries_consistency(rng):
     want_h = -(probs.mean(0) * np.log(probs.mean(0))).sum(-1) / np.log(6)
     np.testing.assert_allclose(np.asarray(h_norm), want_h, atol=1e-5)
     assert (np.asarray(mi_norm) > -1e-6).all()
+
+
+def test_mc_split_summaries_matches_stacked(rng):
+    import jax
+    from semanticlidarunc_tpu.models.fpn import SemanticFPN
+    from semanticlidarunc_tpu.prob import mc_dropout as mc
+    m = SemanticFPN(num_classes=6, backbone="resnet18", input_channels=2,
+                    meta_channels=6)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (1, 16, 32, 2))
+    meta = jax.random.normal(key, (1, 16, 32, 6))
+    vs = m.init({"params": key, "dropout": key}, x, meta, train=False)
+    feats = lambda v, *i, **kw: m.apply(v, *i, method=m.features, **kw)
+    # mc_forward_split passes stochastic=True itself; mc_split_summaries
+    # expects the caller's head_fn to set it
+    head_plain = lambda v, f, **kw: m.apply(v, f, method=m.head, **kw)
+    head_stoch = lambda v, f, **kw: m.apply(v, f, method=m.head,
+                                            stochastic=True, **kw)
+    logits = mc.mc_forward_split(feats, head_plain, vs, (x, meta), key, 4)
+    p1, h1, mi1 = mc.mc_summaries(logits)
+    p2, h2, mi2 = mc.mc_split_summaries(feats, head_stoch, vs, (x, meta),
+                                        key, 4)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mi1), np.asarray(mi2), atol=1e-5)
