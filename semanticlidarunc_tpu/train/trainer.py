@@ -497,8 +497,14 @@ class Trainer:
     # epoch loops
     # ------------------------------------------------------------------
     def train_one_epoch(self, state: TrainState, loader, epoch: int):
+        """One epoch. Loss/confusion statistics stay ON DEVICE and are
+        fetched once at epoch end — per-step host syncs stall the dispatch
+        pipeline (the reference pays a `.item()` per batch,
+        trainer.py:789)."""
         self.iou_evaluator.reset()
-        total_loss, n_steps = 0.0, 0
+        n_steps = 0
+        dev_loss = None
+        dev_confmat = None
         t0 = time.perf_counter()
         for batch in loader:
             if self.loss_name == "Dirichlet" and self._gradnorm_fn is not None \
@@ -507,8 +513,10 @@ class Trainer:
             self.rng, step_rng = jax.random.split(self.rng)
             state, metrics = self._train_step(state, batch,
                                               self._weights_vec(), step_rng)
-            total_loss += float(metrics["loss"])
-            self.iou_evaluator.update_confmat(metrics["confmat"])
+            dev_loss = metrics["loss"] if dev_loss is None \
+                else dev_loss + metrics["loss"]
+            dev_confmat = metrics["confmat"] if dev_confmat is None \
+                else dev_confmat + metrics["confmat"]
             if self.writer and self.global_step % 20 == 0:
                 self.writer.add_scalar("train/loss", float(metrics["loss"]),
                                        self.global_step)
@@ -527,6 +535,9 @@ class Trainer:
                                            self.global_step)
             self.global_step += 1
             n_steps += 1
+        if dev_confmat is not None:
+            self.iou_evaluator.update_confmat(dev_confmat)
+        total_loss = float(dev_loss) if dev_loss is not None else 0.0
         miou, per_class = self.iou_evaluator.compute(
             class_names=self.class_names, test_mask=self.test_mask,
             ignore_gt=[self.ignore_index])
@@ -539,21 +550,28 @@ class Trainer:
         return state, stats
 
     def test_one_epoch(self, state: TrainState, loader, epoch: int = 0):
+        """Evaluation epoch: all statistic arrays accumulate ON DEVICE and
+        are fetched once at the end (no per-batch host syncs)."""
         for agg in (self.iou_evaluator, self.ece_eval, self.auroc_eval,
                     self.auroc_eval_mi, self.aurc_eval):
             agg.reset()
         n = 0
+        acc = None
         for batch in loader:
             self.rng, eval_rng = jax.random.split(self.rng)
             out = self._eval_step(state.params, state.batch_stats, batch,
                                   eval_rng)
-            self.iou_evaluator.update_confmat(out["confmat"])
-            self.ece_eval.update_stats(*out["ece"])
-            self.auroc_eval.update_stats(*out["roc"])
-            self.auroc_eval_mi.update_stats(*out["roc_mi"])
-            self.aurc_eval.cnt += np.asarray(out["rc"][0], np.float64)
-            self.aurc_eval.err += np.asarray(out["rc"][1], np.float64)
+            acc = out if acc is None else jax.tree_util.tree_map(
+                lambda a, b: a + b, acc, out)
             n += 1
+        if acc is not None:
+            acc = jax.device_get(acc)
+            self.iou_evaluator.update_confmat(acc["confmat"])
+            self.ece_eval.update_stats(*acc["ece"])
+            self.auroc_eval.update_stats(*acc["roc"])
+            self.auroc_eval_mi.update_stats(*acc["roc_mi"])
+            self.aurc_eval.cnt += np.asarray(acc["rc"][0], np.float64)
+            self.aurc_eval.err += np.asarray(acc["rc"][1], np.float64)
         miou, per_class = self.iou_evaluator.compute(
             class_names=self.class_names, test_mask=self.test_mask,
             ignore_gt=[self.ignore_index])
