@@ -60,17 +60,47 @@ def _digitize_desc_np(x: np.ndarray, bins_desc: np.ndarray) -> np.ndarray:
     return np.digitize(x, bins_desc)
 
 
-def _digitize_desc(x: jnp.ndarray, bins_asc: jnp.ndarray) -> jnp.ndarray:
-    """JAX equivalent of np.digitize on the DESCENDING view of `bins_asc`.
+def _searchsorted_right_affine(lo, hi, step, n: int,
+                               x: jnp.ndarray) -> jnp.ndarray:
+    """searchsorted(edges, x, 'right') for edges[j] = lo + j*step, gather-free.
 
-    For decreasing bins `b` (b = bins_asc[::-1]) and right=False, numpy returns
-    the count of bin edges strictly greater than x, i.e.
-        digitize(x, b) = len(b) - searchsorted(bins_asc, x, side='right')
-    (verified bit-exactly in tests/test_projection.py).
-
-    method='sort' lowers to one fused sort instead of a sequential binary-
-    search scan, which is ~25x faster on TPU for 256k queries.
+    Per-element TPU gathers cost ~7 ns each (a 256k-query exact correction
+    against materialized linspace edges measured ~9 ms); recomputing the
+    candidate edges arithmetically keeps everything in registers (~0.05 ms).
+    Exact w.r.t. the affine edge definition: the floor estimate is corrected
+    by direct comparison with edges j-1 and j.
     """
+    j = jnp.clip(jnp.floor((x - lo) / step).astype(jnp.int32) + 1, 0, n)
+    for _ in range(2):
+        jf = j.astype(x.dtype)
+        # invariant wanted: edge[j-1] <= x < edge[j]
+        j = jnp.where((j > 0) & (lo + (jf - 1.0) * step > x), j - 1, j)
+        jf = j.astype(x.dtype)
+        j = jnp.where((j < n) & (lo + jf * step <= x), j + 1, j)
+    # numpy linspace pins the endpoints exactly while lo + (n-1)*step can
+    # round past hi; points at the extremes (the data min/max when
+    # theta_range=None) must bin like the reference
+    j = jnp.where(x >= hi, n, jnp.where(x < lo, 0, j))
+    return j
+
+
+def _digitize_desc_affine(x: jnp.ndarray, lo, hi, n: int) -> jnp.ndarray:
+    """np.digitize semantics on the DESCENDING view of n ascending edges
+    spanning [lo, hi]: returns the count of edges strictly greater than x.
+
+    The device path defines its edges as edge[j] = lo + j*(hi-lo)/(n-1)
+    (within ~1 ulp of numpy's float64 linspace; the golden tests bound the
+    resulting pixel-assignment differences)."""
+    step = (hi - lo) / (n - 1)
+    return n - _searchsorted_right_affine(lo, hi, step, n, x)
+
+
+def _digitize_desc(x: jnp.ndarray, bins_asc: jnp.ndarray) -> jnp.ndarray:
+    """Reference-exact variant against explicit ascending edges (used by
+    tests; the hot path uses the affine form above).
+
+    digitize(x, bins_desc) = len(bins) - searchsorted(bins_asc, x, 'right')
+    (verified bit-exactly in tests/test_projection.py)."""
     n = bins_asc.shape[0]
     return n - jnp.searchsorted(bins_asc, x, side="right", method="sort")
 
@@ -134,14 +164,11 @@ def projection_indices(points_xyz: jnp.ndarray, valid: jnp.ndarray,
     else:
         theta_min, theta_max = theta_range[0], theta_range[1]
 
-    # ascending views of the descending bin edges
-    # linspace(a, b, H)[::-1] reversed == linspace(b, a, H) reversed again;
-    # we build the ascending edges directly to keep identical float values.
-    bins_h_asc = jnp.linspace(theta_min, theta_max, height)
-    bins_w_asc = jnp.linspace(-np.pi, np.pi, width)
-
-    idx_h = (_digitize_desc(theta, bins_h_asc) - 1) % height
-    idx_w = (_digitize_desc(phi, bins_w_asc) - 1) % width
+    idx_h = (_digitize_desc_affine(theta, theta_min, theta_max,
+                                   height) - 1) % height
+    idx_w = (_digitize_desc_affine(phi, jnp.asarray(-np.pi, phi.dtype),
+                                   jnp.asarray(np.pi, phi.dtype),
+                                   width) - 1) % width
     flat = idx_h * width + idx_w
     return jnp.where(valid, flat, height * width)
 
@@ -185,8 +212,7 @@ def spherical_projection(points: jnp.ndarray, valid: jnp.ndarray,
     winner = first & (flat_sorted < hw)
     dest = jnp.where(winner, flat_sorted, hw)
     img = jnp.zeros((hw + 1, points.shape[1]), points.dtype)
-    img = img.at[dest].set(points[idx_sorted], mode="drop",
-                           unique_indices=False)
+    img = img.at[dest].set(points[idx_sorted], mode="drop")
     return img[:hw].reshape(height, width, points.shape[1])
 
 
