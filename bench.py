@@ -69,12 +69,8 @@ def main():
                            train=False)
 
     def mc_infer(variables, x, meta, key):
-        p_bar, h_norm, mi_norm = mc.mc_split_summaries(
-            lambda v, *i, **kw: model.apply(v, *i, method=model.features,
-                                            **kw),
-            lambda v, f, **kw: model.apply(v, f, method=model.head,
-                                           stochastic=True, **kw),
-            variables, (x, meta), key, MC_SAMPLES)
+        p_bar, h_norm, mi_norm = mc.mc_fused_summaries(
+            model, variables, (x, meta), key, MC_SAMPLES)
         return jnp.argmax(p_bar, -1), h_norm, mi_norm
 
     @jax.jit

@@ -83,7 +83,15 @@ class SemanticFPN(nn.Module):
         self.upsample_x3 = UpsampleBlock(out_chs[1], scale=scales[1], dtype=self.dtype)
         self.upsample_x2 = UpsampleBlock(out_chs[2], scale=scales[2], dtype=self.dtype)
         self.pyr_dropout = Dropout2d(self.pyramid_dropout)
-        self.dec1 = GNConv(base[4], dtype=self.dtype)
+        # dec1's conv kernel is a raw param (not an nn.Conv) so the fused MC
+        # head can fold per-sample dropout masks into the weights (head_mc)
+        self.fused_channels = sum(out_chs) + base[4]
+        self.dec1_kernel = self.param(
+            "dec1_kernel", nn.initializers.lecun_normal(),
+            (3, 3, self.fused_channels, base[4]), jnp.float32)
+        self.dec1_gn = nn.GroupNorm(
+            num_groups=__import__("math").gcd(min(32, base[4]), base[4]) or 1,
+            dtype=self.dtype)
         self.dec2 = GNConv(base[4], dtype=self.dtype)
         self.dec_up = UpsampleBlock(base[4] // 2, scale=2, dtype=self.dtype)
         self.logits_conv = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype)
@@ -117,16 +125,67 @@ class SemanticFPN(nn.Module):
         x2 = self.upsample_x2(x2)
         return jnp.concatenate([x1, x2, x3, x4], axis=-1)
 
-    def head(self, fused, stochastic: bool = False):
-        """Stochastic head: pyramid dropout + decoder -> raw logits."""
-        y = self.pyr_dropout(fused, deterministic=not stochastic)
-        y = self.dec1(y)
+    def _dec1(self, y):
+        y = jax.lax.conv_general_dilated(
+            y.astype(self.dtype), self.dec1_kernel.astype(self.dtype),
+            window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return nn.relu(self.dec1_gn(y))
+
+    def _head_tail(self, y):
         y = self.dec2(y)
         y = self.dec_up(y)
         out = self.logits_conv(y).astype(jnp.float32)
         if self.head_activation == "elu_plus_one":
             out = jax.nn.elu(out) + 1.0
         return out
+
+    def head(self, fused, stochastic: bool = False):
+        """Stochastic head: pyramid dropout + decoder -> raw logits."""
+        y = self.pyr_dropout(fused, deterministic=not stochastic)
+        return self._head_tail(self._dec1(y))
+
+    def head_mc(self, fused, rng, n_samples: int):
+        """All T MC samples in one pass: [T, B, H, W, num_classes] logits.
+
+        Channel dropout commutes into dec1's weights (conv(m*x, W) ==
+        conv(x, W*m) for per-input-channel masks), so the T samples become a
+        SINGLE wide convolution [..., C_in] -> [..., T*C_dec] — one large
+        MXU matmul instead of T small ones — and only the cheap tail
+        (GN/dec2/upsample/logits) is vmapped. Same sampling law as `head`
+        with Dropout2d; requires batch size 1 (per-batch-element masks can't
+        fold into shared weights).
+        """
+        y = self.head_mc_pre(fused, rng, n_samples)    # [T, H, W, cout]
+        # the tail (GN, convs, resize) is batch-parallel: fold T into batch
+        out = self._head_tail(nn.relu(self.dec1_gn(y)))
+        return out[:, None]                            # [T, 1, H, W, ncls]
+
+    def head_mc_pre(self, fused, rng, n_samples: int):
+        """Fused-dec1 half of head_mc: [T, H, W, C_dec] pre-norm activations.
+        Pair with `head_post` per sample (see prob.mc_dropout.
+        mc_fused_summaries) so the memory-bound full-resolution tail runs one
+        sample at a time while dec1 still executes as a single wide conv."""
+        b, h, w, cin = fused.shape
+        assert b == 1, "head_mc folds masks into weights; needs batch 1"
+        t = n_samples
+        p = self.pyramid_dropout
+        keep = jax.random.bernoulli(rng, 1.0 - p, (t, cin))
+        scale = 1.0 / (1.0 - p)
+        cout = self.dec1_kernel.shape[-1]
+        wmask = (self.dec1_kernel[None] *
+                 (keep.astype(self.dec1_kernel.dtype) * scale)[:, None, None,
+                                                               :, None])
+        wbig = jnp.moveaxis(wmask, 0, 3).reshape(3, 3, cin, t * cout)
+        y = jax.lax.conv_general_dilated(
+            fused.astype(self.dtype), wbig.astype(self.dtype),
+            window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return jnp.moveaxis(y.reshape(h, w, t, cout), 2, 0)
+
+    def head_post(self, y1):
+        """Per-sample tail after head_mc_pre: [1, H, W, C_dec] -> logits."""
+        return self._head_tail(nn.relu(self.dec1_gn(y1)))
 
     def __call__(self, x, meta, train: bool = False, stochastic: bool | None = None):
         stochastic = train if stochastic is None else stochastic

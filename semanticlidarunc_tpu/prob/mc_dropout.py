@@ -95,6 +95,50 @@ def mc_split_summaries(features_fn: Callable, head_fn: Callable,
     return p_bar, h_bar / log_c, mi / log_c
 
 
+def mc_fused_summaries(model, variables: Any, inputs: tuple, rng: jax.Array,
+                       n_samples: int, temperature: float | None = None,
+                       class_slice: int | None = None, eps: float = 1e-12):
+    """(p_bar, H_norm, MI_norm) via the model's weight-folded MC head.
+
+    For models exposing `head_mc_pre`/`head_post` (the FPN family, batch
+    size 1): the trunk runs once, all T dropout masks fold into dec1's
+    weights so the T samples execute as ONE wide convolution, and the
+    memory-bound full-resolution tail runs per sample inside a scan with
+    running (sum p, sum H) accumulators. Same sampling law as the vmapped
+    head (masks come from a different RNG stream).
+    """
+    fused = model.apply(variables, *inputs, train=False,
+                        method=model.features)
+    y1 = model.apply(variables, fused, rng, n_samples,
+                     method=model.head_mc_pre)        # [T, H, W, C_dec]
+
+    def body(carry, y):
+        p_sum, h_sum = carry
+        logits = model.apply(variables, y[None], method=model.head_post)
+        if class_slice is not None:
+            logits = logits[..., :class_slice]
+        if temperature is not None:
+            logits = logits / max(1e-3, float(temperature))
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        p = jnp.exp(logp)
+        h = -jnp.sum(p * logp, axis=-1)
+        return (p_sum + p, h_sum + h), None
+
+    probe = jax.eval_shape(
+        lambda v, y: model.apply(v, y[:1], method=model.head_post),
+        variables, y1)
+    c = probe.shape[-1] if class_slice is None else class_slice
+    init = (jnp.zeros(probe.shape[:-1] + (c,), jnp.float32),
+            jnp.zeros(probe.shape[:-1], jnp.float32))
+    (p_sum, h_sum), _ = jax.lax.scan(body, init, y1)
+    p_bar = p_sum / n_samples
+    h_bar = -jnp.sum(jnp.clip(p_bar, eps) * jnp.log(jnp.clip(p_bar, eps)),
+                     axis=-1)
+    mi = h_bar - h_sum / n_samples
+    log_c = math.log(c)
+    return p_bar, h_bar / log_c, mi / log_c
+
+
 def mc_probs(mc_logits: jnp.ndarray, temperature: float | None = None,
              eps: float = 1e-12) -> jnp.ndarray:
     """[T, ..., C] logits -> probabilities (reference mc_dropout_probs)."""

@@ -243,3 +243,40 @@ def test_mc_split_summaries_matches_stacked(rng):
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(mi1), np.asarray(mi2), atol=1e-5)
+
+
+def test_head_mc_fused_path(rng):
+    """Weight-folded MC head: exact at p=0, matching sampling statistics."""
+    import jax
+    from semanticlidarunc_tpu.models.fpn import SemanticFPN
+    from semanticlidarunc_tpu.prob import mc_dropout as mc
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (1, 16, 32, 2))
+    meta = jax.random.normal(key, (1, 16, 32, 6))
+
+    m0 = SemanticFPN(num_classes=6, backbone="resnet18", input_channels=2,
+                     meta_channels=6, pyramid_dropout=0.0)
+    vs = m0.init({"params": key, "dropout": key}, x, meta, train=False)
+    fused = m0.apply(vs, x, meta, train=False, method=m0.features)
+    det = m0.apply(vs, fused, stochastic=False, method=m0.head)
+    s = m0.apply(vs, fused, key, 3, method=m0.head_mc)
+    np.testing.assert_allclose(
+        np.asarray(s), np.broadcast_to(np.asarray(det)[None], s.shape),
+        atol=1e-4)
+    p_bar, h, mi = mc.mc_fused_summaries(m0, vs, (x, meta), key, 3)
+    np.testing.assert_allclose(
+        np.asarray(p_bar), np.asarray(jax.nn.softmax(det, -1)), atol=1e-5)
+
+    m = SemanticFPN(num_classes=6, backbone="resnet18", input_channels=2,
+                    meta_channels=6, pyramid_dropout=0.1)
+    vs = m.init({"params": key, "dropout": key}, x, meta, train=False)
+    fused = m.apply(vs, x, meta, train=False, method=m.features)
+    s1 = np.asarray(m.apply(vs, fused, key, 32, method=m.head_mc))
+    keys = jax.random.split(jax.random.PRNGKey(7), 32)
+    s2 = np.asarray(jax.vmap(lambda k: m.apply(
+        vs, fused, stochastic=True, method=m.head,
+        rngs={"dropout": k}))(keys))
+    # same sampling law: per-pixel std across samples agrees within 10%
+    v1, v2 = s1.std(axis=0).mean(), s2.std(axis=0).mean()
+    assert abs(v1 - v2) / v2 < 0.15
