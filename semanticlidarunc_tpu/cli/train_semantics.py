@@ -137,6 +137,7 @@ def main(args):
     else:
         tester = Tester(model, cfg, logging=args.with_logging,
                         out_dir=save_path or ".",
+                        visualize=bool(args.visualization),
                         checkpoint=cfg["model_settings"].get("pretrained"))
         result = tester.run(test_loader, mc_samples=args.mc_samples)
         print("mIoU:", result.get("mIoU"))

@@ -38,9 +38,11 @@ def _clean_nans(obj):
 
 class Tester:
     def __init__(self, model, cfg: dict, checkpoint: str | None = None,
-                 logging: bool = False, out_dir: str = "", seed: int = 0):
+                 logging: bool = False, out_dir: str = "", seed: int = 0,
+                 visualize: bool = False):
         self.cfg = cfg
         self.logging = logging
+        self.visualize = visualize
         self.out_dir = out_dir or cfg["extras"].get("save_path", "") or "."
         self.checkpoint = checkpoint
         self.trainer = Trainer(model, cfg, seed=seed)
@@ -156,6 +158,8 @@ class Tester:
                 t.aurc_eval.err += np.asarray(out["rc"][1], np.float64)
                 self.unc_agg.update_stats(out["class_unc"])
                 self.ua_agg.update_stats(*out["ua"])
+                if self.visualize:
+                    self._visualize_batch(batch)
             self._save_cache(cache, n_frames)
 
         miou, per_class = t.iou_evaluator.compute(
@@ -202,6 +206,57 @@ class Tester:
             "ran_inference": ran_inference,
         })
         return result
+
+    def _visualize_batch(self, batch):
+        """Interactive panel frame: gt/pred class colors, reflectivity,
+        normals, plus lazy Dirichlet uncertainty layers (reference
+        tester/trainer viz path; headless-safe)."""
+        import jax.numpy as jnp
+        import numpy as np_
+
+        from ..models import registry
+        from ..prob import dirichlet as pdl
+        from ..utils import viz, viz_panel
+
+        t = self.trainer
+        inputs = registry.set_model_inputs(
+            jnp.asarray(batch["range"]), jnp.asarray(batch["reflectivity"]),
+            jnp.asarray(batch["xyz"]), jnp.asarray(batch["normals"]),
+            self.cfg)
+        out = t.model.apply(
+            {"params": self.state.params,
+             **({"batch_stats": self.state.batch_stats}
+                if self.state.batch_stats is not None else {})},
+            *inputs, train=False, stochastic=False)
+        if isinstance(out, (list, tuple)):
+            out = out[0]
+        colors = self.cfg["extras"].get("class_colors", {})
+        preds = np_.asarray(jnp.argmax(
+            t.predictions_from_outputs(out), -1))[0]
+        gt = np_.asarray(batch["labels"][0])
+        refl = np_.asarray(batch["reflectivity"][0, ..., 0])
+        nrm = np_.asarray(batch["normals"][0])
+        base = {
+            "reflectivity": np_.uint8(
+                255 * np_.repeat(np_.clip(refl, 0, 1)[..., None], 3, -1)),
+            "normals": np_.uint8(255 * (nrm + 1) / 2),
+            "prediction": viz.colorize_labels(preds, colors),
+            "ground_truth": viz.colorize_labels(gt, colors),
+        }
+        optional = {}
+        if t.loss_name == "Dirichlet":
+            sh, sc = pdl.split_dirichlet_logits(out, t.num_classes)
+            alpha = pdl.to_alpha_shape_scale(sh, sc)
+            for name in ("H_norm", "AU_norm", "EU_norm", "alpha0", "AU_frac",
+                         "EU_frac", "EU_minus_AU_frac"):
+                optional[name] = (lambda n=name: viz.build_uncertainty_layers(
+                    alpha, [n])[n])
+            viz_panel.register_optional_names(list(optional),
+                                              default_enabled=False)
+        viz_panel.create_ia_plots(
+            base, optional,
+            (np_.asarray(batch["xyz"][0]), base["prediction"]),
+            enable=True)
 
     def save_results(self, result_dict, out_dir, extra=None):
         per_class = {k: v for k, v in result_dict.items() if k != "mIoU"}
