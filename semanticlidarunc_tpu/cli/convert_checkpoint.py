@@ -1,0 +1,69 @@
+"""Convert a reference PyTorch checkpoint into an orbax checkpoint.
+
+Usage:
+  python -m semanticlidarunc_tpu.cli.convert_checkpoint \
+      --torch_ckpt model_final.pt --backbone resnet50 --num_classes 21 \
+      --out converted_ckpt [--input_channels 2 --meta_channels 6]
+
+The output directory loads via `model_settings.pretrained` / the Tester.
+Forward parity of converted models is covered by tests/test_torch_parity.py.
+"""
+from __future__ import annotations
+
+import argparse
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..models.fpn import SemanticFPN
+    from ..train import checkpoint as ckpt
+    from ..utils.torch_convert import (apply_converted,
+                                       convert_reichert_state_dict)
+
+    import torch
+
+    sd = torch.load(args.torch_ckpt, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    sd = {k.removeprefix("module.").removeprefix("model."):
+          v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+          for k, v in sd.items()}
+
+    model = SemanticFPN(num_classes=args.num_classes,
+                        backbone=args.backbone,
+                        input_channels=args.input_channels,
+                        meta_channels=args.meta_channels)
+    key = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, 64, 128, args.input_channels))
+    meta = jnp.zeros((1, 64, 128, args.meta_channels))
+    variables = model.init({"params": key, "dropout": key}, x, meta,
+                           train=False)
+    converted = convert_reichert_state_dict(sd, args.backbone,
+                                            args.num_classes)
+    variables, missing = apply_converted(variables, converted)
+    if missing:
+        print(f"WARNING: {len(missing)} leaves kept from fresh init:")
+        for k in missing[:10]:
+            print("  ", k)
+    ckpt.save_checkpoint(args.out, {"variables": jax.device_get(variables),
+                                    "step": 0})
+    print(f"Saved converted checkpoint to {args.out}")
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="torch -> orbax converter")
+    p.add_argument("--torch_ckpt", required=True)
+    p.add_argument("--backbone", default="resnet50",
+                   choices=["resnet18", "resnet34", "resnet50"])
+    p.add_argument("--num_classes", type=int, required=True)
+    p.add_argument("--input_channels", type=int, default=2)
+    p.add_argument("--meta_channels", type=int, default=6)
+    p.add_argument("--out", required=True)
+    return p.parse_args(argv)
+
+
+if __name__ == "__main__":
+    main(parse_args())

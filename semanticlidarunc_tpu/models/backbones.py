@@ -54,7 +54,8 @@ class BasicBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         residual = x
         y = nn.Conv(self.features, (3, 3), (self.stride, self.stride),
-                    use_bias=False, dtype=self.dtype)(x)
+                    padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=self.dtype)(x)
         y = nn.relu(_bn(self.dtype, train)(y))
         y = nn.Conv(self.features, (3, 3), use_bias=False, dtype=self.dtype)(y)
         y = _bn(self.dtype, train)(y)
@@ -78,7 +79,8 @@ class Bottleneck(nn.Module):
         y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(x)
         y = nn.relu(_bn(self.dtype, train)(y))
         y = nn.Conv(self.features, (3, 3), (self.stride, self.stride),
-                    use_bias=False, dtype=self.dtype)(y)
+                    padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=self.dtype)(y)
         y = nn.relu(_bn(self.dtype, train)(y))
         y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype)(y)
         y = _bn(self.dtype, train)(y)
@@ -138,8 +140,8 @@ class ShuffleUnit(nn.Module):
             z = nn.Conv(half, (1, 1), use_bias=False, dtype=self.dtype)(z)
             z = nn.relu(_bn(self.dtype, train)(z))
             z = nn.Conv(half, (3, 3), (self.stride, self.stride),
-                        feature_group_count=half, use_bias=False,
-                        dtype=self.dtype)(z)
+                        padding=((1, 1), (1, 1)), feature_group_count=half,
+                        use_bias=False, dtype=self.dtype)(z)
             z = _bn(self.dtype, train)(z)
             z = nn.Conv(half, (1, 1), use_bias=False, dtype=self.dtype)(z)
             return nn.relu(_bn(self.dtype, train)(z))
@@ -149,8 +151,9 @@ class ShuffleUnit(nn.Module):
             out = jnp.concatenate([x1, branch_main(x2)], axis=-1)
         else:
             c_in = x.shape[-1]
-            proj = nn.Conv(c_in, (3, 3), (2, 2), feature_group_count=c_in,
-                           use_bias=False, dtype=self.dtype)(x)
+            proj = nn.Conv(c_in, (3, 3), (2, 2), padding=((1, 1), (1, 1)),
+                           feature_group_count=c_in, use_bias=False,
+                           dtype=self.dtype)(x)
             proj = _bn(self.dtype, train)(proj)
             proj = nn.Conv(half, (1, 1), use_bias=False, dtype=self.dtype)(proj)
             proj = nn.relu(_bn(self.dtype, train)(proj))
@@ -224,8 +227,8 @@ class YBlock(nn.Module):
         y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(x)
         y = nn.relu(_bn(self.dtype, train)(y))
         y = nn.Conv(self.features, (3, 3), (self.stride, self.stride),
-                    feature_group_count=groups, use_bias=False,
-                    dtype=self.dtype)(y)
+                    padding=((1, 1), (1, 1)), feature_group_count=groups,
+                    use_bias=False, dtype=self.dtype)(y)
         y = nn.relu(_bn(self.dtype, train)(y))
         y = SqueezeExcite(max(1, int(in_ch * self.se_ratio)),
                           dtype=self.dtype)(y)
@@ -278,7 +281,8 @@ class FusedMBConv(nn.Module):
     def __call__(self, x, train: bool = False):
         in_ch = x.shape[-1]
         mid = in_ch * self.expand
-        y = nn.Conv(mid, (3, 3), (self.stride, self.stride), use_bias=False,
+        y = nn.Conv(mid, (3, 3), (self.stride, self.stride),
+                    padding=((1, 1), (1, 1)), use_bias=False,
                     dtype=self.dtype)(x)
         y = nn.silu(_bn(self.dtype, train)(y))
         y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(y)
@@ -302,8 +306,8 @@ class MBConv(nn.Module):
         y = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype)(x)
         y = nn.silu(_bn(self.dtype, train)(y))
         y = nn.Conv(mid, (3, 3), (self.stride, self.stride),
-                    feature_group_count=mid, use_bias=False,
-                    dtype=self.dtype)(y)
+                    padding=((1, 1), (1, 1)), feature_group_count=mid,
+                    use_bias=False, dtype=self.dtype)(y)
         y = nn.silu(_bn(self.dtype, train)(y))
         y = SqueezeExcite(max(1, int(in_ch * self.se_ratio)),
                           dtype=self.dtype)(y)

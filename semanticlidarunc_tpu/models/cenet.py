@@ -76,7 +76,8 @@ class LeakyBasicBlock(nn.Module):
                                 epsilon=1e-5, dtype=self.dtype)
         identity = x
         y = nn.Conv(self.features, (3, 3), (self.stride, self.stride),
-                    use_bias=False, dtype=self.dtype)(x)
+                    padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=self.dtype)(x)
         y = _leaky(bn()(y))
         y = nn.Conv(self.features, (3, 3), use_bias=False, dtype=self.dtype)(y)
         y = bn()(y)

@@ -109,9 +109,22 @@ class GNConv(nn.Module):
 
 
 def resize_nearest(x: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """Nearest-neighbor resize with torch F.interpolate semantics.
+
+    torch 'nearest' maps out[i] = in[floor(i / scale)] (so 1/2-downsampling
+    keeps EVEN rows/cols), while jax.image.resize uses half-pixel centers
+    (keeps odd ones) — an off-by-one on every meta pyramid level. Integer
+    downscales use strided slicing (exact); other factors use the index
+    formula."""
     b, h, w, c = x.shape
-    return jax.image.resize(x, (b, int(h * scale), int(w * scale), c),
-                            method="nearest")
+    inv = 1.0 / scale
+    if scale < 1 and abs(inv - round(inv)) < 1e-9:
+        k = int(round(inv))
+        return x[:, ::k, ::k, :]
+    oh, ow = int(h * scale), int(w * scale)
+    ys = jnp.floor(jnp.arange(oh) / scale).astype(jnp.int32).clip(0, h - 1)
+    xs = jnp.floor(jnp.arange(ow) / scale).astype(jnp.int32).clip(0, w - 1)
+    return x[:, ys][:, :, xs]
 
 
 def channel_dropout(x: jnp.ndarray, rate: float, deterministic: bool,

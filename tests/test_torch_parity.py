@@ -1,0 +1,192 @@
+"""Forward parity of SemanticFPN vs a torch oracle of the reference topology.
+
+torchvision is not installed in this image, so the reference model file
+cannot be imported directly; instead this test builds a pure-torch replica
+of /root/reference/src/baselines/Reichert/semanticFCN_opt.py (resnet18
+variant) with reference-identical state_dict naming, converts its weights
+with utils.torch_convert, and compares forward outputs. This validates both
+the converter mapping and the cross-framework numerics (BatchNorm/GroupNorm/
+maxpool/bilinear-resize/attention semantics) end to end.
+"""
+import math
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as nn  # noqa: E402
+import torch.nn.functional as F  # noqa: E402
+
+
+class _BasicBlock(nn.Module):
+    def __init__(self, cin, cout, stride=1):
+        super().__init__()
+        self.conv1 = nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(cout)
+        self.conv2 = nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(cout)
+        self.downsample = None
+        if stride != 1 or cin != cout:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(cin, cout, 1, stride, bias=False),
+                nn.BatchNorm2d(cout))
+
+    def forward(self, x):
+        idt = x if self.downsample is None else self.downsample(x)
+        y = F.relu(self.bn1(self.conv1(x)))
+        y = self.bn2(self.conv2(y))
+        return F.relu(y + idt)
+
+
+class _Backbone(nn.Module):
+    """resnet18 trunk as the reference slices it (conv1 3x3 s1, NO bn in the
+    stem, maxpool, layers 1-4)."""
+
+    def __init__(self, in_ch):
+        super().__init__()
+        self.conv1 = nn.Conv2d(in_ch, 64, 3, 1, 1, bias=False)
+        self.maxpool = nn.MaxPool2d(3, 2, 1)
+
+        def stage(cin, cout, n, stride):
+            blocks = [_BasicBlock(cin, cout, stride)]
+            blocks += [_BasicBlock(cout, cout) for _ in range(n - 1)]
+            return nn.Sequential(*blocks)
+
+        self.layer1 = stage(64, 64, 2, 1)
+        self.layer2 = stage(64, 128, 2, 2)
+        self.layer3 = stage(128, 256, 2, 2)
+        self.layer4 = stage(256, 512, 2, 2)
+
+
+class _SpatialAttention(nn.Module):
+    def __init__(self, cin, reduction=8):
+        super().__init__()
+        hid = max(1, cin // reduction)
+        self.proj = nn.Conv2d(cin, hid, 1, bias=False)
+        self.score = nn.Conv2d(hid, 1, 1, bias=False)
+
+    def forward(self, x):
+        s = self.score(F.relu(self.proj(x)))
+        b, _, h, w = s.shape
+        wmap = torch.softmax(s.view(b, 1, h * w), -1).view(b, 1, h, w)
+        return x * wmap + x
+
+
+class _UpsampleBlock(nn.Module):
+    def __init__(self, cin, cout, scale, groups=8):
+        super().__init__()
+        self.scale = scale
+        g = math.gcd(groups, cout) or 1
+        self.block = nn.Sequential(
+            nn.Conv2d(cin, cout, 3, padding=1, bias=False),
+            nn.GroupNorm(g, cout), nn.ReLU(inplace=True))
+
+    def forward(self, x):
+        x = F.interpolate(x, scale_factor=self.scale, mode="bilinear",
+                          align_corners=False)
+        return self.block(x)
+
+
+def _gn(ch, groups=32):
+    g = math.gcd(min(groups, ch), ch) or 1
+    return nn.GroupNorm(g, ch)
+
+
+class TorchReichertOracle(nn.Module):
+    """Reference SemanticNetworkWithFPN topology, resnet18, multi-scale
+    meta, attention on — state_dict keys match the reference model's."""
+
+    def __init__(self, num_classes, input_channels=2, meta_dim=6):
+        super().__init__()
+        base = [512, 256, 128, 64, 32]
+        self.meta_dim = meta_dim
+        self.backbone = _Backbone(input_channels + meta_dim)
+
+        def fpn(cin, cout):
+            return nn.Sequential(nn.Conv2d(cin, cout, 3, padding=1),
+                                 nn.BatchNorm2d(cout), nn.ReLU(inplace=True))
+
+        self.fpn_block4 = fpn(base[0], base[1])
+        self.fpn_block3 = fpn(base[1], base[2])
+        self.fpn_block2 = fpn(base[2], base[3])
+        self.fpn_block1 = fpn(base[3], base[4])
+        self.attention4 = _SpatialAttention(base[1])
+        self.attention3 = _SpatialAttention(base[2])
+        self.attention2 = _SpatialAttention(base[3])
+        self.attention1 = _SpatialAttention(base[4])
+        self.upsample_layer_x4 = _UpsampleBlock(base[1], base[1] // 8, 8)
+        self.upsample_layer_x3 = _UpsampleBlock(base[2], base[2] // 4, 4)
+        self.upsample_layer_x2 = _UpsampleBlock(base[3], base[3] // 2, 2)
+        cat_ch = base[1] // 8 + base[2] // 4 + base[3] // 2 + base[4]
+        self.decoder_semantic = nn.Sequential(
+            nn.Conv2d(cat_ch, base[4], 3, padding=1, bias=False),
+            _gn(base[4]), nn.ReLU(inplace=True),
+            nn.Conv2d(base[4], base[4], 3, padding=1, bias=False),
+            _gn(base[4]), nn.ReLU(inplace=True),
+            _UpsampleBlock(base[4], base[4] // 2, 2),
+            nn.Conv2d(base[4] // 2, num_classes, 1))
+
+    def forward(self, x, meta):
+        m1 = F.interpolate(meta, scale_factor=0.5, mode="nearest")
+        m2 = F.interpolate(meta, scale_factor=0.25, mode="nearest")
+        m3 = F.interpolate(meta, scale_factor=0.125, mode="nearest")
+        d = self.meta_dim
+        x = torch.cat([x, meta], 1)
+        xs = self.backbone.maxpool(F.relu(self.backbone.conv1(x)))
+        x1 = self.backbone.layer1(xs)
+        x2 = self.backbone.layer2(torch.cat([x1[:, :-d], m1], 1))
+        x3 = self.backbone.layer3(torch.cat([x2[:, :-d], m2], 1))
+        x4 = self.backbone.layer4(torch.cat([x3[:, :-d], m3], 1))
+        x4 = self.attention4(self.fpn_block4(x4))
+        x3 = self.attention3(self.fpn_block3(x3))
+        x2 = self.attention2(self.fpn_block2(x2))
+        x1 = self.attention1(self.fpn_block1(x1))
+        x4 = self.upsample_layer_x4(x4)
+        x3 = self.upsample_layer_x3(x3)
+        x2 = self.upsample_layer_x2(x2)
+        fused = torch.cat([x1, x2, x3, x4], 1)
+        return self.decoder_semantic(fused)
+
+
+def test_forward_parity_resnet18_vs_torch_oracle():
+    import jax
+    import jax.numpy as jnp
+
+    from semanticlidarunc_tpu.models.fpn import SemanticFPN
+    from semanticlidarunc_tpu.utils.torch_convert import (
+        apply_converted, convert_reichert_state_dict)
+
+    torch.manual_seed(0)
+    oracle = TorchReichertOracle(num_classes=7)
+    oracle.eval()
+    # randomize BN stats so normalization is actually exercised
+    for mod in oracle.modules():
+        if isinstance(mod, nn.BatchNorm2d):
+            mod.running_mean.normal_(0, 0.5)
+            mod.running_var.uniform_(0.5, 2.0)
+    sd = {k: v.detach().numpy() for k, v in oracle.state_dict().items()}
+
+    m = SemanticFPN(num_classes=7, backbone="resnet18", input_channels=2,
+                    meta_channels=6)
+    key = jax.random.PRNGKey(0)
+    h, w = 32, 64
+    rng = np.random.default_rng(0)
+    x_np = rng.standard_normal((1, h, w, 2)).astype(np.float32)
+    meta_np = rng.standard_normal((1, h, w, 6)).astype(np.float32)
+    variables = m.init({"params": key, "dropout": key}, jnp.asarray(x_np),
+                       jnp.asarray(meta_np), train=False)
+    converted = convert_reichert_state_dict(sd, "resnet18", 7)
+    variables, missing = apply_converted(variables, converted)
+    assert not missing, f"unconverted leaves: {missing[:8]}"
+
+    got = np.asarray(m.apply(variables, jnp.asarray(x_np),
+                             jnp.asarray(meta_np), train=False,
+                             stochastic=False))
+    with torch.no_grad():
+        want = oracle(
+            torch.from_numpy(x_np.transpose(0, 3, 1, 2)),
+            torch.from_numpy(meta_np.transpose(0, 3, 1, 2)),
+        ).permute(0, 2, 3, 1).numpy()
+    diff = np.abs(got - want)
+    assert diff.max() < 5e-3, (
+        f"forward mismatch: max {diff.max():.5f} mean {diff.mean():.6f}")
