@@ -190,3 +190,58 @@ def test_forward_parity_resnet18_vs_torch_oracle():
     diff = np.abs(got - want)
     assert diff.max() < 5e-3, (
         f"forward mismatch: max {diff.max():.5f} mean {diff.mean():.6f}")
+
+
+def test_salsanext_forward_parity_vs_reference_code():
+    """DIRECT parity vs the actual reference SalsaNext module (torch-only
+    imports), with weights carried over by utils.salsanext_convert."""
+    import os
+    import sys
+
+    ref_dir = "/root/reference/src/baselines/SalsaNext"
+    if not os.path.isdir(ref_dir):
+        pytest.skip("reference tree not mounted")
+
+    import jax
+    import jax.numpy as jnp
+
+    from semanticlidarunc_tpu.models.salsanext import SalsaNext
+    from semanticlidarunc_tpu.utils.salsanext_convert import (
+        convert_salsanext_state_dict)
+    from semanticlidarunc_tpu.utils.torch_convert import apply_converted
+
+    sys.path.insert(0, ref_dir)
+    try:
+        import importlib
+        ref_mod = importlib.import_module("SalsaNext")
+    finally:
+        sys.path.remove(ref_dir)
+
+    torch.manual_seed(0)
+    ref = ref_mod.SalsaNext(nclasses=6, nchannels=5)
+    ref.eval()
+    for mod in ref.modules():
+        if isinstance(mod, nn.BatchNorm2d):
+            mod.running_mean.normal_(0, 0.5)
+            mod.running_var.uniform_(0.5, 2.0)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    m = SalsaNext(num_classes=6)
+    key = jax.random.PRNGKey(0)
+    h, w = 32, 64
+    x_np = np.random.default_rng(3).standard_normal(
+        (1, h, w, 5)).astype(np.float32)
+    variables = m.init({"params": key, "dropout": key}, jnp.asarray(x_np),
+                       train=False)
+    converted = convert_salsanext_state_dict(sd)
+    variables, missing = apply_converted(variables, converted)
+    assert not missing, f"unconverted leaves: {missing[:8]}"
+
+    got = np.asarray(m.apply(variables, jnp.asarray(x_np), train=False,
+                             stochastic=False))
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x_np.transpose(0, 3, 1, 2))
+                   ).permute(0, 2, 3, 1).numpy()
+    diff = np.abs(got - want)
+    assert diff.max() < 5e-3, (
+        f"forward mismatch: max {diff.max():.5f} mean {diff.mean():.6f}")
