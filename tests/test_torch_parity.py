@@ -38,24 +38,57 @@ class _BasicBlock(nn.Module):
         return F.relu(y + idt)
 
 
+class _Bottleneck(nn.Module):
+    def __init__(self, cin, width, stride=1):
+        super().__init__()
+        cout = width * 4
+        self.conv1 = nn.Conv2d(cin, width, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(width)
+        self.conv2 = nn.Conv2d(width, width, 3, stride, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(width)
+        self.conv3 = nn.Conv2d(width, cout, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(cout)
+        self.downsample = None
+        if stride != 1 or cin != cout:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(cin, cout, 1, stride, bias=False),
+                nn.BatchNorm2d(cout))
+
+    def forward(self, x):
+        idt = x if self.downsample is None else self.downsample(x)
+        y = F.relu(self.bn1(self.conv1(x)))
+        y = F.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        return F.relu(y + idt)
+
+
 class _Backbone(nn.Module):
     """resnet18 trunk as the reference slices it (conv1 3x3 s1, NO bn in the
     stem, maxpool, layers 1-4)."""
 
-    def __init__(self, in_ch):
+    def __init__(self, in_ch, bottleneck=False):
         super().__init__()
         self.conv1 = nn.Conv2d(in_ch, 64, 3, 1, 1, bias=False)
         self.maxpool = nn.MaxPool2d(3, 2, 1)
-
-        def stage(cin, cout, n, stride):
-            blocks = [_BasicBlock(cin, cout, stride)]
-            blocks += [_BasicBlock(cout, cout) for _ in range(n - 1)]
-            return nn.Sequential(*blocks)
-
-        self.layer1 = stage(64, 64, 2, 1)
-        self.layer2 = stage(64, 128, 2, 2)
-        self.layer3 = stage(128, 256, 2, 2)
-        self.layer4 = stage(256, 512, 2, 2)
+        if bottleneck:  # resnet50 layout
+            def stage(cin, width, n, stride):
+                blocks = [_Bottleneck(cin, width, stride)]
+                blocks += [_Bottleneck(width * 4, width)
+                           for _ in range(n - 1)]
+                return nn.Sequential(*blocks)
+            self.layer1 = stage(64, 64, 3, 1)
+            self.layer2 = stage(256, 128, 4, 2)
+            self.layer3 = stage(512, 256, 6, 2)
+            self.layer4 = stage(1024, 512, 3, 2)
+        else:
+            def stage(cin, cout, n, stride):
+                blocks = [_BasicBlock(cin, cout, stride)]
+                blocks += [_BasicBlock(cout, cout) for _ in range(n - 1)]
+                return nn.Sequential(*blocks)
+            self.layer1 = stage(64, 64, 2, 1)
+            self.layer2 = stage(64, 128, 2, 2)
+            self.layer3 = stage(128, 256, 2, 2)
+            self.layer4 = stage(256, 512, 2, 2)
 
 
 class _SpatialAttention(nn.Module):
@@ -96,11 +129,13 @@ class TorchReichertOracle(nn.Module):
     """Reference SemanticNetworkWithFPN topology, resnet18, multi-scale
     meta, attention on — state_dict keys match the reference model's."""
 
-    def __init__(self, num_classes, input_channels=2, meta_dim=6):
+    def __init__(self, num_classes, input_channels=2, meta_dim=6,
+                 bottleneck=False):
         super().__init__()
-        base = [512, 256, 128, 64, 32]
+        base = [2048, 1024, 512, 256, 128] if bottleneck else \
+            [512, 256, 128, 64, 32]
         self.meta_dim = meta_dim
-        self.backbone = _Backbone(input_channels + meta_dim)
+        self.backbone = _Backbone(input_channels + meta_dim, bottleneck)
 
         def fpn(cin, cout):
             return nn.Sequential(nn.Conv2d(cin, cout, 3, padding=1),
@@ -242,6 +277,48 @@ def test_salsanext_forward_parity_vs_reference_code():
     with torch.no_grad():
         want = ref(torch.from_numpy(x_np.transpose(0, 3, 1, 2))
                    ).permute(0, 2, 3, 1).numpy()
+    diff = np.abs(got - want)
+    assert diff.max() < 5e-3, (
+        f"forward mismatch: max {diff.max():.5f} mean {diff.mean():.6f}")
+
+
+def test_forward_parity_resnet50_vs_torch_oracle():
+    import jax
+    import jax.numpy as jnp
+
+    from semanticlidarunc_tpu.models.fpn import SemanticFPN
+    from semanticlidarunc_tpu.utils.torch_convert import (
+        apply_converted, convert_reichert_state_dict)
+
+    torch.manual_seed(1)
+    oracle = TorchReichertOracle(num_classes=5, bottleneck=True)
+    oracle.eval()
+    for mod in oracle.modules():
+        if isinstance(mod, nn.BatchNorm2d):
+            mod.running_mean.normal_(0, 0.5)
+            mod.running_var.uniform_(0.5, 2.0)
+    sd = {k: v.detach().numpy() for k, v in oracle.state_dict().items()}
+
+    m = SemanticFPN(num_classes=5, backbone="resnet50", input_channels=2,
+                    meta_channels=6)
+    key = jax.random.PRNGKey(0)
+    rng = np.random.default_rng(2)
+    x_np = rng.standard_normal((1, 32, 64, 2)).astype(np.float32)
+    meta_np = rng.standard_normal((1, 32, 64, 6)).astype(np.float32)
+    variables = m.init({"params": key, "dropout": key}, jnp.asarray(x_np),
+                       jnp.asarray(meta_np), train=False)
+    converted = convert_reichert_state_dict(sd, "resnet50", 5)
+    variables, missing = apply_converted(variables, converted)
+    assert not missing, f"unconverted leaves: {missing[:8]}"
+
+    got = np.asarray(m.apply(variables, jnp.asarray(x_np),
+                             jnp.asarray(meta_np), train=False,
+                             stochastic=False))
+    with torch.no_grad():
+        want = oracle(
+            torch.from_numpy(x_np.transpose(0, 3, 1, 2)),
+            torch.from_numpy(meta_np.transpose(0, 3, 1, 2)),
+        ).permute(0, 2, 3, 1).numpy()
     diff = np.abs(got - want)
     assert diff.max() < 5e-3, (
         f"forward mismatch: max {diff.max():.5f} mean {diff.mean():.6f}")
