@@ -84,6 +84,37 @@ def tversky(outputs: jnp.ndarray, labels: jnp.ndarray, *,
     return jnp.mean(1.0 - t)
 
 
+def effective_number_class_weights(class_counts, beta: float = 0.999,
+                                   normalize: bool = True):
+    """Class-balanced weights via the effective number of samples
+    (Cui et al. 2019; the reference's class-weight builder inside the legacy
+    DirichletCriterion, src/models/losses.py:605-681):
+        w_c = (1 - beta) / (1 - beta^n_c), zero-count classes get weight 0.
+    """
+    import numpy as np
+
+    counts = np.asarray(class_counts, np.float64)
+    eff = 1.0 - np.power(beta, counts)
+    w = np.where(counts > 0, (1.0 - beta) / np.maximum(eff, 1e-12), 0.0)
+    if normalize and w.sum() > 0:
+        w = w * (np.count_nonzero(counts) / w.sum())
+    return w
+
+
+def weighted_cross_entropy(outputs: jnp.ndarray, labels: jnp.ndarray,
+                           class_weights: jnp.ndarray,
+                           ignore_index: int | None = 0,
+                           model_act: str = "logits") -> jnp.ndarray:
+    """CE with per-class weights (weighted mean over valid pixels)."""
+    c = outputs.shape[-1]
+    mask = valid_mask(labels, ignore_index, num_classes=c)
+    logp = to_log_probs(outputs, model_act)
+    safe = jnp.where(mask, labels, 0)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    w = jnp.asarray(class_weights)[safe] * mask.astype(nll.dtype)
+    return jnp.sum(nll * w) / jnp.clip(jnp.sum(w), 1e-8)
+
+
 def classify_output_kind(outputs, sample_fraction: float = 0.1,
                          rng=None) -> str:
     """Heuristic 'logits' | 'probs' | 'log_probs' detection on host

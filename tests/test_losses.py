@@ -116,3 +116,21 @@ def test_classify_output_kind(rng):
     assert seg.classify_output_kind(logits) == "logits"
     assert seg.classify_output_kind(probs) == "probs"
     assert seg.classify_output_kind(np.log(probs + 1e-12)) == "log_probs"
+
+
+def test_effective_number_class_weights():
+    w = seg.effective_number_class_weights([0, 10, 1000, 100000], beta=0.999)
+    assert w[0] == 0.0
+    # rarer classes get larger weights
+    assert w[1] > w[2] > w[3] > 0
+
+
+def test_weighted_cross_entropy(rng):
+    logits, labels = _rand_problem(rng)
+    cw = np.ones(logits.shape[-1], np.float32)
+    got = float(seg.weighted_cross_entropy(jnp.asarray(logits),
+                                           jnp.asarray(labels),
+                                           jnp.asarray(cw), ignore_index=0))
+    want = float(seg.cross_entropy(jnp.asarray(logits), jnp.asarray(labels),
+                                   ignore_index=0))
+    assert abs(got - want) < 1e-5
