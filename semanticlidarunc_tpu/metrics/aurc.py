@@ -120,3 +120,31 @@ class AURCAggregator:
                 "rc_risks": risks, "ks": ks, "recalls": recalls,
                 "num_pixels": int(self.cnt.sum()),
                 "num_errors": int(self.err.sum())}
+
+
+def plot_rc_curves(stats: dict, title_prefix: str = "Dataset",
+                   save_path: str | None = None, dpi: int = 150):
+    """Risk-coverage + top-k% error-recall plots
+    (reference aurc.py:125-160 plot_batch_rc_curves)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 4.5))
+    ax1.plot(stats["coverages"], stats["rc_risks"])
+    ax1.set_xlabel("Coverage")
+    ax1.set_ylabel("Selective risk")
+    ax1.set_title(f"{title_prefix} risk-coverage  "
+                  f"AURC={stats['AURC']:.4f}  E-AURC={stats['EAURC']:.4f}")
+    ax1.grid(True, alpha=0.3)
+    ax2.plot(stats["ks"], stats["recalls"], marker="o")
+    ax2.set_xlabel("Least-confident k% of pixels")
+    ax2.set_ylabel("Fraction of all errors captured")
+    ax2.set_title("Top-k% error recall")
+    ax2.set_ylim(0, 1)
+    ax2.grid(True, alpha=0.3)
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, bbox_inches="tight", dpi=dpi)
+    plt.close(fig)
+    return fig

@@ -227,3 +227,25 @@ def entropy_from_logistic_normal(rng: jax.Array, logits_mean: jnp.ndarray,
     p_bar = jax.nn.softmax(samples, axis=-1).mean(axis=0)
     h = -jnp.sum(jnp.log(jnp.clip(p_bar, eps)) * p_bar, axis=-1)
     return h, h / math.log(c)
+
+
+def plot_entropy_error_iou(mean_ious, thresholds, save_path=None, dpi=300):
+    """Mean IoU between error mask and entropy-threshold mask vs threshold
+    (reference probability_helper.py:411-421)."""
+    import numpy as np
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(8, 5), constrained_layout=True)
+    ax.set_ylim(0, 1)
+    ax.set_xlim(0, 1)
+    ax.plot(np.asarray(thresholds), np.asarray(mean_ious), marker="o")
+    ax.set_xlabel("Entropy threshold")
+    ax.set_ylabel("Mean IoU")
+    ax.set_title("Mean IoU between Error Mask and Entropy-Threshold Mask")
+    ax.grid(True, linestyle=":")
+    if save_path:
+        fig.savefig(save_path, dpi=dpi, bbox_inches="tight")
+    plt.close(fig)
+    return fig

@@ -176,6 +176,9 @@ class Tester:
             save_plot_path=os.path.join(self.out_dir,
                                         f"roc_mi_{epoch_name}.png"))
         rc = t.aurc_eval.compute()
+        from ..metrics.aurc import plot_rc_curves
+        plot_rc_curves(rc, save_path=os.path.join(
+            self.out_dir, f"risk_coverage_{epoch_name}.png"))
         self.ua_agg.plot(save_path=os.path.join(
             self.out_dir, f"acc_vs_unc_{epoch_name}.png"))
         if t.class_names:

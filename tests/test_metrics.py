@@ -137,3 +137,29 @@ def test_auroc_mi_score_runs(rng):
     agg.update(jnp.asarray(alpha), jnp.asarray(labels))
     auroc, _ = agg.compute()
     assert np.isfinite(auroc)
+
+
+def test_rc_and_entropy_plots(tmp_path, rng):
+    from semanticlidarunc_tpu.metrics.aurc import plot_rc_curves
+    from semanticlidarunc_tpu.prob.dirichlet import (entropy_error_iou,
+                                                     plot_entropy_error_iou)
+    import os
+
+    logits, labels = _preds_labels(rng)
+    probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    agg = aurc_m.AURCAggregator(ignore_index=0)
+    agg.update(jnp.asarray(probs.max(-1)), jnp.asarray(probs.argmax(-1)),
+               jnp.asarray(labels))
+    stats = agg.compute()
+    p1 = str(tmp_path / "rc.png")
+    plot_rc_curves(stats, save_path=p1)
+    assert os.path.exists(p1)
+
+    ent = -(probs * np.log(probs + 1e-12)).sum(-1) / np.log(logits.shape[-1])
+    err = (probs.argmax(-1) != labels).astype(np.float32)
+    taus = np.linspace(0, 1, 11)
+    ious = entropy_error_iou(jnp.asarray(ent), jnp.asarray(err),
+                             jnp.asarray(taus))
+    p2 = str(tmp_path / "ee.png")
+    plot_entropy_error_iou(np.asarray(ious), taus, save_path=p2)
+    assert os.path.exists(p2)
