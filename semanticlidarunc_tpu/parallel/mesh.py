@@ -36,6 +36,12 @@ def make_mesh(n_devices: int | None = None, data: int | None = None,
     n = min(n, len(devs))
     if data is None:
         data = n // model
+    if len(devs) < data * model:
+        raise ValueError(
+            f"mesh (data={data}, model={model}) needs {data * model} devices "
+            f"but only {len(devs)} are visible; provision virtual CPU devices "
+            f"via jax.config.update('jax_platforms','cpu') + "
+            f"jax.config.update('jax_num_cpu_devices', n) before first use")
     devices = np.asarray(devs[:data * model]).reshape(data, model)
     return Mesh(devices, ("data", "model"))
 
