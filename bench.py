@@ -1,10 +1,23 @@
 """Headline benchmark: SemanticKITTI scans/sec for 20-sample MC-dropout.
 
 Runs on whatever accelerator JAX exposes (the driver runs it on one real TPU
-chip). Measures the full per-scan inference: flagship FPN (resnet50 backbone,
-the reference's headline-mIoU model) on a 64x2048 KITTI-shaped scan, 20
-MC-dropout samples with the fused p_bar / entropy / mutual-information
-reductions — everything in one jit, bf16 compute.
+chip). Measures the FULL north-star per-scan path, all inside one jit, bf16
+compute (BASELINE.json "projection + forward"):
+
+  padded raw points (131072, KITTI-scale)
+    -> on-device spherical projection (sort + nearest-wins scatter)
+    -> range/reflectivity/normals assembly (Scharr convs)
+    -> flagship FPN forward (resnet50 backbone, the reference's
+       headline-mIoU model) at 64x2048
+    -> 20 MC-dropout samples through the weight-folded fused head with
+       fused p_bar / entropy / mutual-information reductions
+    -> argmax + back-projection to per-point labels
+
+The MC path used here is `mc_predictive_summaries` — the SAME dispatcher the
+Trainer/Tester eval step runs in production, so the benched path is the
+shipped path. A secondary model-only number (pre-projected tensors in, no
+projection/back-projection) is reported for comparison with the reference's
+forward-only protocol.
 
 Timing methodology: this environment reaches the TPU through an RPC tunnel
 where `block_until_ready` does NOT wait for device execution and a host fetch
@@ -15,11 +28,15 @@ time is the slope between a 1-iteration and an N+1-iteration run, which
 cancels the constant RPC cost.
 
 Baseline derivation (see BASELINE.md): the reference's resnet50 forward is
-43.7 ms at bs=1 on 128x2048 input (Images/plot_inference_time.py:7); KITTI
-scans are 64x2048 (half the rows), and reference MC-dropout is T sequential
-full forwards (src/utils/mc_dropout.py:114-119), so the reference-GPU
-20-sample rate is ~ 1000 / (43.7 / 2 * 20) = 2.29 scans/s. The driver target
-is >= 5x an H100 running the same PyTorch code.
+43.7 ms at bs=1 on 128x2048 input (Images/plot_inference_time.py:7) on an
+UNSPECIFIED GPU (docker targets RTX/A-series); KITTI scans are 64x2048 (half
+the rows), and reference MC-dropout is T sequential full forwards
+(src/utils/mc_dropout.py:114-119), so that GPU's 20-sample rate is
+~ 1000 / (43.7 / 2 * 20) = 2.29 scans/s — and it still excludes the CPU-side
+projection the full path pays. The driver target is >= 5x an *H100* running
+the same PyTorch code; an H100 is plausibly ~2.5x the reference GPU, so
+`vs_baseline` is computed against the H100-adjusted 2.29 * 2.5 = 5.72
+scans/s (the raw reference-GPU ratio is also reported).
 
 Prints exactly one JSON line.
 """
@@ -35,12 +52,31 @@ import jax.numpy as jnp
 
 MC_SAMPLES = 20
 H, W = 64, 2048
-BASELINE_SCANS_PER_SEC = 2.29
+N_POINTS = 1 << 17                      # 131072 = KITTI-scale point count
+REFERENCE_GPU_SCANS_PER_SEC = 2.29
+H100_FACTOR = 2.5                       # assumed H100 speedup over that GPU
+BASELINE_SCANS_PER_SEC = REFERENCE_GPU_SCANS_PER_SEC * H100_FACTOR
 N_ITERS = 50
 
 
+def _timed_slope(chained_fn, n_iters: int) -> float:
+    """Per-iteration seconds via the (1, N+1)-run slope (cancels RPC cost)."""
+    def timed(n: int) -> float:
+        t0 = time.perf_counter()
+        int(chained_fn(jnp.asarray(n)))  # single scalar fetch -> full sync
+        return time.perf_counter() - t0
+
+    timed(1)  # compile + warm caches
+    t1 = min(timed(1) for _ in range(3))
+    tn = min(timed(n_iters + 1) for _ in range(3))
+    return (tn - t1) / n_iters
+
+
 def main():
+    from semanticlidarunc_tpu import inference
+    from semanticlidarunc_tpu.dataset.synthetic import make_scan
     from semanticlidarunc_tpu.models import registry
+    from semanticlidarunc_tpu.ops.projection import pad_points
     from semanticlidarunc_tpu.prob import mc_dropout as mc
     from semanticlidarunc_tpu.utils import config as cfg_util
 
@@ -56,51 +92,66 @@ def main():
     })
     model = registry.build_model(cfg, dtype=jnp.bfloat16)
 
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(np.concatenate([
-        rng.random((1, H, W, 1), np.float32) * 50,
-        rng.random((1, H, W, 1), np.float32)], axis=-1))
-    meta = jnp.asarray(np.concatenate([
-        rng.standard_normal((1, H, W, 3)).astype(np.float32) * 20,
-        rng.standard_normal((1, H, W, 3)).astype(np.float32)], axis=-1))
+    # KITTI-scale synthetic scan: 64 beams x 2048 azimuth = 131072 points
+    pc = make_scan(seed=0, n_beams=64, n_azimuth=2048)
+    pts_np, valid_np = pad_points(pc, N_POINTS)
+    points = jnp.asarray(pts_np[:, :4])
+    valid = jnp.asarray(valid_np)
 
     key = jax.random.PRNGKey(0)
-    variables = model.init({"params": key, "dropout": key}, x, meta,
+    inputs0, _ = inference.preprocess_scan(points, valid, H, W, cfg)
+    variables = model.init({"params": key, "dropout": key}, *inputs0,
                            train=False)
 
-    def mc_infer(variables, x, meta, key):
-        p_bar, h_norm, mi_norm = mc.mc_fused_summaries(
-            model, variables, (x, meta), key, MC_SAMPLES)
-        return jnp.argmax(p_bar, -1), h_norm, mi_norm
-
+    # -- primary: full scan path (projection -> MC-20 -> back-projection) --
     @jax.jit
-    def chained(variables, x, meta, n):
+    def chained_full(n):
         def body(i, carry):
-            xx, acc = carry
-            preds, h_norm, mi_norm = mc_infer(variables, xx, meta,
-                                              jax.random.fold_in(key, i))
+            pts, acc = carry
+            inputs, flat = inference.preprocess_scan(pts, valid, H, W, cfg)
+            p_bar, h_norm, mi_norm = mc.mc_predictive_summaries(
+                model, variables, tuple(inputs), jax.random.fold_in(key, i),
+                MC_SAMPLES)
+            seg = jnp.argmax(p_bar[0], axis=-1).astype(jnp.int32)
+            pt_labels = inference.back_project(seg, flat)
             # feed the result back into the input: strict serial dependency
-            dep = (h_norm[..., None] + mi_norm[..., None]) * 1e-9
-            return xx + dep.astype(xx.dtype), acc + preds.sum()
-        _, acc = jax.lax.fori_loop(0, n, body, (x, jnp.int32(0)))
+            dep = (h_norm.sum() + mi_norm.sum()) * 1e-12
+            return pts + dep.astype(pts.dtype), acc + pt_labels.sum()
+        _, acc = jax.lax.fori_loop(0, n, body, (points, jnp.int32(0)))
         return acc
 
-    def timed(n: int) -> float:
-        t0 = time.perf_counter()
-        int(chained(variables, x, meta, jnp.asarray(n)))  # fetch -> sync
-        return time.perf_counter() - t0
+    # -- secondary: model-only (pre-projected tensors, reference protocol) --
+    x0, meta0 = inputs0
 
-    timed(1)  # compile + warm caches
-    t1 = min(timed(1) for _ in range(3))
-    tn = min(timed(N_ITERS + 1) for _ in range(3))
-    per_scan = (tn - t1) / N_ITERS
+    @jax.jit
+    def chained_model(n):
+        def body(i, carry):
+            xx, acc = carry
+            p_bar, h_norm, mi_norm = mc.mc_predictive_summaries(
+                model, variables, (xx, meta0), jax.random.fold_in(key, i),
+                MC_SAMPLES)
+            preds = jnp.argmax(p_bar, -1)
+            dep = (h_norm[..., None] + mi_norm[..., None]) * 1e-9
+            return xx + dep.astype(xx.dtype), acc + preds.sum()
+        _, acc = jax.lax.fori_loop(0, n, body, (x0, jnp.int32(0)))
+        return acc
 
-    scans_per_sec = 1.0 / per_scan
+    per_scan_full = _timed_slope(chained_full, N_ITERS)
+    per_scan_model = _timed_slope(chained_model, N_ITERS)
+
+    scans_per_sec = 1.0 / per_scan_full
     print(json.dumps({
-        "metric": "kitti_mc20_scans_per_sec",
+        "metric": "kitti_mc20_e2e_scans_per_sec",
         "value": round(scans_per_sec, 3),
         "unit": "scans/s/chip",
         "vs_baseline": round(scans_per_sec / BASELINE_SCANS_PER_SEC, 3),
+        "model_only_scans_per_sec": round(1.0 / per_scan_model, 3),
+        "vs_reference_gpu": round(
+            scans_per_sec / REFERENCE_GPU_SCANS_PER_SEC, 3),
+        "baseline_note": ("baseline = reference-GPU 2.29 scans/s (forward "
+                          "only) x assumed H100 factor 2.5; e2e value also "
+                          "includes on-device projection+back-projection "
+                          "the baseline excludes"),
     }))
 
 

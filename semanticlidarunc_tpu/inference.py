@@ -81,30 +81,17 @@ def make_mc_scan_segmenter(model, variables, cfg: dict, height: int,
                            width: int, n_samples: int = 20, theta_range=None):
     """jitted: (points, valid, rng) ->
     (point_labels, seg [H,W], h_norm [H,W], mi_norm [H,W])."""
-    split = hasattr(model, "features")
-
     is_dirichlet = cfg["model_settings"].get("loss_function") == "Dirichlet"
+    nc = (getattr(model, "num_classes", 0) - 1) if is_dirichlet else None
+    temperature = cfg.get("extras", {}).get("temperature")
 
     @jax.jit
     def run(points, valid, rng):
         inputs, flat = preprocess_scan(points, valid, height, width, cfg,
                                        theta_range)
-        if split:
-            nc = model.num_classes - 1 if is_dirichlet else None
-            p_bar, h_norm, mi_norm = mc.mc_split_summaries(
-                lambda v, *i, **kw: model.apply(v, *i, method=model.features,
-                                                **kw),
-                lambda v, f, **kw: model.apply(v, f, method=model.head,
-                                               stochastic=True, **kw),
-                variables, tuple(inputs), rng, n_samples, class_slice=nc)
-        else:
-            logits = mc.mc_forward(
-                lambda v, *i, **kw: model.apply(v, *i, **kw),
-                variables, tuple(inputs), rng, n_samples)
-            nc = logits.shape[-1]
-            if is_dirichlet:
-                logits = logits[..., : nc - 1]
-            p_bar, h_norm, mi_norm = mc.mc_summaries(logits)
+        p_bar, h_norm, mi_norm = mc.mc_predictive_summaries(
+            model, variables, tuple(inputs), rng, n_samples,
+            temperature=temperature, class_slice=nc)
         seg = jnp.argmax(p_bar[0], axis=-1).astype(jnp.int32)
         return back_project(seg, flat), seg, h_norm[0], mi_norm[0]
 

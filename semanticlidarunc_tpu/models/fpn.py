@@ -152,22 +152,27 @@ class SemanticFPN(nn.Module):
         conv(x, W*m) for per-input-channel masks), so the T samples become a
         SINGLE wide convolution [..., C_in] -> [..., T*C_dec] — one large
         MXU matmul instead of T small ones — and only the cheap tail
-        (GN/dec2/upsample/logits) is vmapped. Same sampling law as `head`
-        with Dropout2d; requires batch size 1 (per-batch-element masks can't
-        fold into shared weights).
+        (GN/dec2/upsample/logits) runs per (sample, batch) element.
         """
-        y = self.head_mc_pre(fused, rng, n_samples)    # [T, H, W, cout]
-        # the tail (GN, convs, resize) is batch-parallel: fold T into batch
-        out = self._head_tail(nn.relu(self.dec1_gn(y)))
-        return out[:, None]                            # [T, 1, H, W, ncls]
+        y = self.head_mc_pre(fused, rng, n_samples)    # [T, B, H, W, cout]
+        t, b, h, w, c = y.shape
+        # GN/convs/resize are batch-parallel: fold (T, B) into one batch dim
+        out = self._head_tail(nn.relu(self.dec1_gn(y.reshape(t * b, h, w, c))))
+        return out.reshape((t, b) + out.shape[1:])     # [T, B, H, W, ncls]
 
     def head_mc_pre(self, fused, rng, n_samples: int):
-        """Fused-dec1 half of head_mc: [T, H, W, C_dec] pre-norm activations.
-        Pair with `head_post` per sample (see prob.mc_dropout.
+        """Fused-dec1 half of head_mc: [T, B, H, W, C_dec] pre-norm
+        activations. Pair with `head_post` per sample (see prob.mc_dropout.
         mc_fused_summaries) so the memory-bound full-resolution tail runs one
-        sample at a time while dec1 still executes as a single wide conv."""
+        sample at a time while dec1 still executes as a single wide conv.
+
+        The T channel masks are shared across the batch (folding per-element
+        masks into shared weights is impossible). Every per-element MC
+        statistic (p_bar, entropy, MI, ...) depends only on that element's
+        own T iid masks, so sharing masks across elements changes nothing
+        observable — only the (never used) cross-element sample correlation.
+        """
         b, h, w, cin = fused.shape
-        assert b == 1, "head_mc folds masks into weights; needs batch 1"
         t = n_samples
         p = self.pyramid_dropout
         keep = jax.random.bernoulli(rng, 1.0 - p, (t, cin))
@@ -181,10 +186,10 @@ class SemanticFPN(nn.Module):
             fused.astype(self.dtype), wbig.astype(self.dtype),
             window_strides=(1, 1), padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return jnp.moveaxis(y.reshape(h, w, t, cout), 2, 0)
+        return jnp.moveaxis(y.reshape(b, h, w, t, cout), 3, 0)
 
     def head_post(self, y1):
-        """Per-sample tail after head_mc_pre: [1, H, W, C_dec] -> logits."""
+        """Per-sample tail after head_mc_pre: [B, H, W, C_dec] -> logits."""
         return self._head_tail(nn.relu(self.dec1_gn(y1)))
 
     def __call__(self, x, meta, train: bool = False, stochastic: bool | None = None):

@@ -64,12 +64,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: dict, mesh: Mesh, spatial: bool = False) -> dict:
+def shard_batch(batch: dict, mesh: Mesh, spatial: bool = False,
+                ignore_index: int = 0) -> dict:
     """Place a host batch onto the mesh with DP(+SP) shardings.
 
-    If the batch dim doesn't divide the data axis it is padded by repeating
-    the last sample (metrics treat repeats via masking upstream; training
-    loss impact is negligible for the final partial batch).
+    If the batch dim doesn't divide the data axis, pad samples are appended
+    with all-`ignore_index` labels and zeroed inputs: all metrics and the
+    masked losses skip `labels == ignore_index` pixels, so pad samples
+    contribute nothing to confmat/ECE/ROC/RC statistics (repeating real
+    samples instead would double-count their pixels). The one unmasked loss
+    (the SalsaNext NLL quirk, which follows the reference in averaging over
+    all pixels) only sees pads on the final ragged train batch — negligible.
     """
     sh = batch_sharding(mesh, spatial)
     d = mesh.shape["data"]
@@ -78,7 +83,10 @@ def shard_batch(batch: dict, mesh: Mesh, spatial: bool = False) -> dict:
         v = np.asarray(v)
         rem = (-v.shape[0]) % d
         if rem:
-            v = np.concatenate([v, np.repeat(v[-1:], rem, axis=0)], axis=0)
+            pad = np.zeros((rem,) + v.shape[1:], v.dtype)
+            if k == "labels":
+                pad[...] = ignore_index
+            v = np.concatenate([v, pad], axis=0)
         out[k] = jax.device_put(v, sh[k])
     return out
 

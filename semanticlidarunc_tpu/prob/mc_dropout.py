@@ -100,8 +100,8 @@ def mc_fused_summaries(model, variables: Any, inputs: tuple, rng: jax.Array,
                        class_slice: int | None = None, eps: float = 1e-12):
     """(p_bar, H_norm, MI_norm) via the model's weight-folded MC head.
 
-    For models exposing `head_mc_pre`/`head_post` (the FPN family, batch
-    size 1): the trunk runs once, all T dropout masks fold into dec1's
+    For models exposing `head_mc_pre`/`head_post` (the FPN family, any batch
+    size): the trunk runs once, all T dropout masks fold into dec1's
     weights so the T samples execute as ONE wide convolution, and the
     memory-bound full-resolution tail runs per sample inside a scan with
     running (sum p, sum H) accumulators. Same sampling law as the vmapped
@@ -110,11 +110,11 @@ def mc_fused_summaries(model, variables: Any, inputs: tuple, rng: jax.Array,
     fused = model.apply(variables, *inputs, train=False,
                         method=model.features)
     y1 = model.apply(variables, fused, rng, n_samples,
-                     method=model.head_mc_pre)        # [T, H, W, C_dec]
+                     method=model.head_mc_pre)        # [T, B, H, W, C_dec]
 
     def body(carry, y):
         p_sum, h_sum = carry
-        logits = model.apply(variables, y[None], method=model.head_post)
+        logits = model.apply(variables, y, method=model.head_post)
         if class_slice is not None:
             logits = logits[..., :class_slice]
         if temperature is not None:
@@ -125,7 +125,7 @@ def mc_fused_summaries(model, variables: Any, inputs: tuple, rng: jax.Array,
         return (p_sum + p, h_sum + h), None
 
     probe = jax.eval_shape(
-        lambda v, y: model.apply(v, y[:1], method=model.head_post),
+        lambda v, y: model.apply(v, y[0], method=model.head_post),
         variables, y1)
     c = probe.shape[-1] if class_slice is None else class_slice
     init = (jnp.zeros(probe.shape[:-1] + (c,), jnp.float32),
@@ -137,6 +137,44 @@ def mc_fused_summaries(model, variables: Any, inputs: tuple, rng: jax.Array,
     mi = h_bar - h_sum / n_samples
     log_c = math.log(c)
     return p_bar, h_bar / log_c, mi / log_c
+
+
+def mc_predictive_summaries(model, variables: Any, inputs: tuple,
+                            rng: jax.Array, n_samples: int,
+                            temperature: float | None = None,
+                            class_slice: int | None = None):
+    """(p_bar, H_norm, MI_norm) through the FASTEST path the model supports.
+
+    This is the single production entry point for MC-dropout summaries —
+    the Trainer/Tester eval step, the fused scan segmenter, and bench.py all
+    route through it, so the benched path IS the shipped path:
+
+    1. weight-folded fused head (`head_mc_pre`/`head_post`: dec1 executes as
+       one wide conv for all T samples) — the FPN family;
+    2. trunk-once / scan-over-head (`features`/`head`) — any trunk/head model;
+    3. full vmapped stochastic forward — everything else (SalsaNext, CENet,
+       FIDNet), still fused with the summary reductions in one jit.
+    """
+    if hasattr(model, "head_mc_pre") and hasattr(model, "head_post"):
+        return mc_fused_summaries(model, variables, inputs, rng, n_samples,
+                                  temperature=temperature,
+                                  class_slice=class_slice)
+    if hasattr(model, "features") and hasattr(model, "head"):
+        return mc_split_summaries(
+            lambda v, *i, **kw: model.apply(v, *i, method=model.features,
+                                            **kw),
+            lambda v, f, **kw: model.apply(v, f, method=model.head,
+                                           stochastic=True, **kw),
+            variables, inputs, rng, n_samples, temperature=temperature,
+            class_slice=class_slice)
+    logits = mc_forward(
+        lambda v, *i, **kw: model.apply(v, *i, **kw),
+        variables, inputs, rng, n_samples)
+    if isinstance(logits, (list, tuple)):   # aux-head models (CENet)
+        logits = logits[0]
+    if class_slice is not None:
+        logits = logits[..., :class_slice]
+    return mc_summaries(logits, temperature=temperature)
 
 
 def mc_probs(mc_logits: jnp.ndarray, temperature: float | None = None,

@@ -306,10 +306,21 @@ class Trainer:
         def eval_step(state_params, batch_stats, batch, rng):
             labels = batch["labels"]
             if self.use_mc_sampling:
-                logits = self._mc_logits(state_params, batch_stats, batch, rng)
-                p_bar, h_norm, mi_norm = mc.mc_summaries(
-                    self.predictions_from_outputs(logits),
-                    temperature=self.temperature)
+                # single production MC path == benched path: weight-folded
+                # fused head where available, trunk-once scan otherwise
+                # (reference runs T sequential full forwards,
+                # /root/reference/src/models/trainer.py:1138-1152)
+                inputs = registry.set_model_inputs(
+                    batch["range"], batch["reflectivity"], batch["xyz"],
+                    batch["normals"], self.cfg)
+                variables = {"params": state_params}
+                if batch_stats is not None:
+                    variables["batch_stats"] = batch_stats
+                p_bar, h_norm, mi_norm = mc.mc_predictive_summaries(
+                    self.model, variables, tuple(inputs), rng,
+                    self.mc_samples, temperature=self.temperature,
+                    class_slice=(nc if self.loss_name == "Dirichlet"
+                                 else None))
                 evalu = p_bar
                 conf = jnp.max(p_bar, axis=-1)
                 mode = "probs"
@@ -360,24 +371,6 @@ class Trainer:
 
         self._eval_step = jax.jit(eval_step)
         self._terms_of_params = terms_of_params
-
-    def _mc_logits(self, params, batch_stats, batch, rng):
-        inputs = registry.set_model_inputs(
-            batch["range"], batch["reflectivity"], batch["xyz"],
-            batch["normals"], self.cfg)
-        variables = {"params": params}
-        if batch_stats is not None:
-            variables["batch_stats"] = batch_stats
-        if hasattr(self.model, "features"):
-            return mc.mc_forward_split(
-                lambda v, *i, **kw: self.model.apply(
-                    v, *i, method=self.model.features, **kw),
-                lambda v, f, **kw: self.model.apply(
-                    v, f, method=self.model.head, **kw),
-                variables, inputs, rng, self.mc_samples)
-        return mc.mc_forward(
-            lambda v, *i, **kw: self.model.apply(v, *i, **kw),
-            variables, inputs, rng, self.mc_samples)
 
     # ------------------------------------------------------------------
     # state creation

@@ -280,3 +280,72 @@ def test_head_mc_fused_path(rng):
     # same sampling law: per-pixel std across samples agrees within 10%
     v1, v2 = s1.std(axis=0).mean(), s2.std(axis=0).mean()
     assert abs(v1 - v2) / v2 < 0.15
+
+
+def test_head_mc_batched(rng):
+    """Weight-folded MC head at batch > 1: exact at p=0, per-element at p>0
+    each batch element matches its own vmapped-head distribution."""
+    import jax
+    from semanticlidarunc_tpu.models.fpn import SemanticFPN
+    from semanticlidarunc_tpu.prob import mc_dropout as mc
+
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (2, 16, 32, 2))
+    meta = jax.random.normal(key, (2, 16, 32, 6))
+
+    m0 = SemanticFPN(num_classes=6, backbone="resnet18", input_channels=2,
+                     meta_channels=6, pyramid_dropout=0.0)
+    vs = m0.init({"params": key, "dropout": key}, x, meta, train=False)
+    fused = m0.apply(vs, x, meta, train=False, method=m0.features)
+    det = m0.apply(vs, fused, stochastic=False, method=m0.head)
+    s = m0.apply(vs, fused, key, 3, method=m0.head_mc)
+    assert s.shape == (3, 2) + det.shape[1:]
+    np.testing.assert_allclose(
+        np.asarray(s), np.broadcast_to(np.asarray(det)[None], s.shape),
+        atol=1e-4)
+    # the production dispatcher picks the fused path for the FPN and agrees
+    p_bar, h, mi = mc.mc_predictive_summaries(m0, vs, (x, meta), key, 3)
+    assert p_bar.shape == det.shape
+    np.testing.assert_allclose(
+        np.asarray(p_bar), np.asarray(jax.nn.softmax(det, -1)), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mi), 0.0, atol=1e-5)
+
+    # p>0: batched fused samples match the per-element vmapped-head law
+    m = SemanticFPN(num_classes=6, backbone="resnet18", input_channels=2,
+                    meta_channels=6, pyramid_dropout=0.1)
+    vs = m.init({"params": key, "dropout": key}, x, meta, train=False)
+    fused = m.apply(vs, x, meta, train=False, method=m.features)
+    s1 = np.asarray(m.apply(vs, fused, key, 32, method=m.head_mc))
+    keys = jax.random.split(jax.random.PRNGKey(11), 32)
+    s2 = np.asarray(jax.vmap(lambda k: m.apply(
+        vs, fused, stochastic=True, method=m.head,
+        rngs={"dropout": k}))(keys))
+    for b in range(2):
+        v1 = s1[:, b].std(axis=0).mean()
+        v2 = s2[:, b].std(axis=0).mean()
+        assert abs(v1 - v2) / v2 < 0.15
+
+
+def test_mc_predictive_summaries_class_slice_and_split(rng):
+    """Dispatcher: Dirichlet class_slice drops the scale channel; fused and
+    split paths agree exactly when dropout is off."""
+    import jax
+    from semanticlidarunc_tpu.models.fpn import SemanticFPN
+    from semanticlidarunc_tpu.prob import mc_dropout as mc
+
+    key = jax.random.PRNGKey(5)
+    x = jax.random.normal(key, (2, 16, 32, 2))
+    meta = jax.random.normal(key, (2, 16, 32, 6))
+    m = SemanticFPN(num_classes=7, backbone="resnet18", input_channels=2,
+                    meta_channels=6, pyramid_dropout=0.0)
+    vs = m.init({"params": key, "dropout": key}, x, meta, train=False)
+    p1, h1, mi1 = mc.mc_predictive_summaries(m, vs, (x, meta), key, 2,
+                                             class_slice=6)
+    assert p1.shape[-1] == 6
+    p2, h2, mi2 = mc.mc_split_summaries(
+        lambda v, *i, **kw: m.apply(v, *i, method=m.features, **kw),
+        lambda v, f, **kw: m.apply(v, f, method=m.head, stochastic=True,
+                                   **kw),
+        vs, (x, meta), key, 2, class_slice=6)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-5)
