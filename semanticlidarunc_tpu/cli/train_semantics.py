@@ -98,6 +98,18 @@ def main(args):
 
     model = registry.build_model(cfg)
 
+    # optional multi-chip execution: --mesh auto | D | DxM (model axis = SP)
+    mesh, spatial = None, False
+    spec = getattr(args, "mesh", None)
+    if spec:
+        from ..parallel import mesh as pm
+        parsed = pm.parse_mesh_spec(spec)
+        if parsed is not None and parsed[0] * parsed[1] > 1:
+            mesh = pm.make_mesh(parsed[0] * parsed[1], data=parsed[0],
+                                model=parsed[1])
+            spatial = parsed[1] > 1
+            print(f"[mesh] {dict(mesh.shape)} spatial={spatial}")
+
     save_path = ""
     if args.with_logging:
         ts = time.strftime("%y-%m-%d_%H-%M-%S", time.gmtime())
@@ -116,7 +128,7 @@ def main(args):
 
     if args.mode == "train":
         trainer = Trainer(model, cfg, logging=args.with_logging,
-                          save_path=save_path)
+                          save_path=save_path, mesh=mesh, spatial=spatial)
         batch0 = next(iter(train_loader))
         state = trainer.create_state(
             batch0, num_epochs=num_epochs,
@@ -138,18 +150,33 @@ def main(args):
         tester = Tester(model, cfg, logging=args.with_logging,
                         out_dir=save_path or ".",
                         visualize=bool(args.visualization),
-                        checkpoint=cfg["model_settings"].get("pretrained"))
+                        checkpoint=cfg["model_settings"].get("pretrained"),
+                        mesh=mesh, spatial=spatial)
         result = tester.run(test_loader, mc_samples=args.mc_samples)
         print("mIoU:", result.get("mIoU"))
+
+
+def _str2bool(v) -> bool:
+    """argparse bool that accepts `--flag False` (the reference used
+    `type=bool`, under which the string "False" evaluates truthy)."""
+    if isinstance(v, bool):
+        return v
+    return str(v).strip().lower() in ("1", "true", "t", "yes", "y")
 
 
 def parse_args(argv=None):
     parser = argparse.ArgumentParser(
         description="Train/test script (TPU-native SemanticLiDARUnc)")
-    parser.add_argument("--visualization", type=bool, default=False,
+    parser.add_argument("--visualization", type=_str2bool, nargs="?",
+                        const=True, default=False,
                         help="Toggle visualization during training")
-    parser.add_argument("--with_logging", type=bool, default=True,
+    parser.add_argument("--with_logging", type=_str2bool, nargs="?",
+                        const=True, default=True,
                         help="Toggle logging (weights + tensorboard)")
+    parser.add_argument("--mesh", type=str, default=None,
+                        help="Multi-chip mesh: 'auto' (all devices, pure DP),"
+                             " 'D' (D-way DP) or 'DxM' (DP x spatial/azimuth"
+                             " sharding). Default: single device.")
     parser.add_argument("--cfg_path", type=str,
                         default="configs/SemanticKitti_default.yaml",
                         help="Path to the config file")

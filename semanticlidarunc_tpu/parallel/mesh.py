@@ -71,10 +71,12 @@ def shard_batch(batch: dict, mesh: Mesh, spatial: bool = False,
     If the batch dim doesn't divide the data axis, pad samples are appended
     with all-`ignore_index` labels and zeroed inputs: all metrics and the
     masked losses skip `labels == ignore_index` pixels, so pad samples
-    contribute nothing to confmat/ECE/ROC/RC statistics (repeating real
-    samples instead would double-count their pixels). The one unmasked loss
-    (the SalsaNext NLL quirk, which follows the reference in averaging over
-    all pixels) only sees pads on the final ragged train batch — negligible.
+    contribute nothing to ECE/ROC/RC/acc statistics and only to the
+    confusion matrix's ignore-GT row, which IoU compute() zeroes per
+    reference semantics (repeating real samples instead would double-count
+    their pixels in every statistic). The one unmasked loss (the SalsaNext
+    NLL quirk, which follows the reference in averaging over all pixels)
+    only sees pads on the final ragged train batch — negligible.
     """
     sh = batch_sharding(mesh, spatial)
     d = mesh.shape["data"]
@@ -103,6 +105,29 @@ def shard_train_step(train_step, mesh: Mesh, spatial: bool = False):
         out_shardings=None,
         donate_argnums=(0,),
     )
+
+
+def shard_eval_step(eval_step, mesh: Mesh, spatial: bool = False):
+    """Wrap a (params, batch_stats, batch, rng) eval step with mesh
+    shardings: params/stats/rng replicated, batch DP(+SP)-sharded. The
+    returned per-bin statistic arrays are replicated (XLA inserts the
+    cross-chip psums for the histogram reductions)."""
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh, spatial)
+    return jax.jit(eval_step, in_shardings=(None, None, bsh, rep))
+
+
+def parse_mesh_spec(spec: str | None) -> tuple[int, int] | None:
+    """'auto' -> (n_devices, 1); 'DxM' (e.g. '4x2') -> (D, M); None/'' -> None."""
+    if not spec or str(spec).lower() in ("none", "off", "1", "1x1"):
+        return None
+    s = str(spec).lower()
+    if s == "auto":
+        return (len(jax.devices()), 1)
+    if "x" in s:
+        d, m = s.split("x", 1)
+        return (int(d), int(m))
+    return (int(s), 1)
 
 
 def psum_tree(tree: Any, axis_name: str = "data"):

@@ -39,13 +39,14 @@ def _clean_nans(obj):
 class Tester:
     def __init__(self, model, cfg: dict, checkpoint: str | None = None,
                  logging: bool = False, out_dir: str = "", seed: int = 0,
-                 visualize: bool = False):
+                 visualize: bool = False, mesh=None, spatial: bool = False):
         self.cfg = cfg
         self.logging = logging
         self.visualize = visualize
         self.out_dir = out_dir or cfg["extras"].get("save_path", "") or "."
         self.checkpoint = checkpoint
-        self.trainer = Trainer(model, cfg, seed=seed)
+        self.trainer = Trainer(model, cfg, seed=seed, mesh=mesh,
+                               spatial=spatial)
         # apply a previously fitted temperature if one sits next to the ckpt
         if checkpoint:
             from ..prob.temp_scaling import load_temperature
@@ -147,7 +148,7 @@ class Tester:
                 t.rng, eval_rng = jax.random.split(t.rng)
                 t0 = time.perf_counter()
                 out = t._eval_step(self.state.params, self.state.batch_stats,
-                                   batch, eval_rng)
+                                   t.place_batch(batch), eval_rng)
                 out = jax.device_get(out)
                 infer_ms.append((time.perf_counter() - t0) * 1e3)
                 t.iou_evaluator.update_confmat(out["confmat"])

@@ -57,9 +57,14 @@ BALANCE_KEYS = ("nll", "ls", "brier", "mse", "digamma_ce")
 class Trainer:
     def __init__(self, model, cfg: dict, *, seed: int = 0,
                  logging: bool = False, save_path: str = "",
-                 total_train_steps: int | None = None):
+                 total_train_steps: int | None = None,
+                 mesh=None, spatial: bool = False):
         self.model = model
         self.cfg = cfg
+        # optional multi-chip execution: DP(+SP) GSPMD mesh; train/eval steps
+        # are jitted with shardings and host batches placed via shard_batch
+        self.mesh = mesh
+        self.spatial = bool(spatial)
         self.logging = logging
         self.save_path = save_path
         self.loss_name = cfg["model_settings"]["loss_function"]
@@ -293,7 +298,12 @@ class Trainer:
                     alpha, labels, self.ignore_index)
             return state, metrics
 
-        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        if self.mesh is not None:
+            from ..parallel import mesh as pm
+            self._train_step = pm.shard_train_step(train_step, self.mesh,
+                                                   spatial=self.spatial)
+        else:
+            self._train_step = jax.jit(train_step, donate_argnums=(0,))
 
         # grad-norm measurement for the balancer (Dirichlet / SalsaNext logs)
         def terms_of_params(params, batch_stats, batch):
@@ -369,8 +379,21 @@ class Trainer:
                     "rc": (rc_cnt, rc_err), "class_unc": cls_unc,
                     "ua": (ua_cnt, ua_cor)}
 
-        self._eval_step = jax.jit(eval_step)
+        if self.mesh is not None:
+            from ..parallel import mesh as pm
+            self._eval_step = pm.shard_eval_step(eval_step, self.mesh,
+                                                 spatial=self.spatial)
+        else:
+            self._eval_step = jax.jit(eval_step)
         self._terms_of_params = terms_of_params
+
+    def place_batch(self, batch):
+        """Shard a host batch onto the mesh (no-op without a mesh)."""
+        if self.mesh is None:
+            return batch
+        from ..parallel import mesh as pm
+        return pm.shard_batch(batch, self.mesh, spatial=self.spatial,
+                              ignore_index=self.ignore_index)
 
     # ------------------------------------------------------------------
     # state creation
@@ -500,6 +523,7 @@ class Trainer:
         dev_confmat = None
         t0 = time.perf_counter()
         for batch in loader:
+            batch = self.place_batch(batch)
             if self.loss_name == "Dirichlet" and self._gradnorm_fn is not None \
                     and self.global_step % self.eq_interval == 0:
                 self._update_dirichlet_weights(state, batch)
@@ -551,6 +575,7 @@ class Trainer:
         n = 0
         acc = None
         for batch in loader:
+            batch = self.place_batch(batch)
             self.rng, eval_rng = jax.random.split(self.rng)
             out = self._eval_step(state.params, state.batch_stats, batch,
                                   eval_rng)
