@@ -126,17 +126,30 @@ class AUROCAggregator:
         if fpr is None:
             return auroc, {}
         if save_plot_path is not None:
-            import matplotlib
-            matplotlib.use("Agg")
             import matplotlib.pyplot as plt
-            fig, ax = plt.subplots(figsize=(6.0, 5.0), dpi=dpi)
-            ax.plot([0, 1], [0, 1])
-            ax.plot(fpr, tpr)
-            ax.set_xlim(0, 1); ax.set_ylim(0, 1)
-            ax.set_xlabel("FPR"); ax.set_ylabel("TPR")
-            ax.set_title(f"{title}\nAUROC = {auroc:.4f}")
-            ax.grid(True, alpha=0.3)
-            fig.tight_layout()
+            fig = self._make_fig(auroc, fpr, tpr, title, dpi)
             fig.savefig(save_plot_path, bbox_inches="tight", dpi=dpi)
             plt.close(fig)
         return auroc, {"fpr": fpr, "tpr": tpr}
+
+    def figure(self, title: str = "ROC: error detection", dpi: int = 200):
+        """ROC figure for TensorBoard add_figure embedding; caller owns it.
+        Returns None when the ROC is undefined (no errors or no hits)."""
+        auroc, fpr, tpr = auroc_from_histograms(self.h_err, self.h_ok)
+        if fpr is None:
+            return None
+        return self._make_fig(auroc, fpr, tpr, title, dpi)
+
+    def _make_fig(self, auroc, fpr, tpr, title, dpi):
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots(figsize=(6.0, 5.0), dpi=dpi)
+        ax.plot([0, 1], [0, 1])
+        ax.plot(fpr, tpr)
+        ax.set_xlim(0, 1); ax.set_ylim(0, 1)
+        ax.set_xlabel("FPR"); ax.set_ylabel("TPR")
+        ax.set_title(f"{title}\nAUROC = {auroc:.4f}")
+        ax.grid(True, alpha=0.3)
+        fig.tight_layout()
+        return fig

@@ -156,7 +156,21 @@ class ECEAggregator:
             "acc": acc, "conf": conf,
         }
 
+    def figure(self, title: str = "Reliability Diagram", dpi: int = 200):
+        """Reliability figure for TensorBoard add_figure embedding (the
+        reference embeds these via writer.add_figure, trainer.py:1240-1281).
+        Caller owns the figure (close after use)."""
+        count, s_conf, s_corr, _ = self._aggregate()
+        ece, mce = ece_from_stats(count, s_conf, s_corr)
+        return self._make_fig(self.stats_dict(), ece, mce, title, dpi)
+
     def _plot(self, stats, ece, mce, path, title, dpi):
+        import matplotlib.pyplot as plt
+        fig = self._make_fig(stats, ece, mce, title, dpi)
+        fig.savefig(path, bbox_inches="tight", dpi=dpi)
+        plt.close(fig)
+
+    def _make_fig(self, stats, ece, mce, title, dpi):
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
@@ -181,5 +195,4 @@ class ECEAggregator:
         ax.set_title(f"{title}\nECE={ece:.4f}  |  MCE={mce:.4f}")
         ax.legend(loc="lower right", frameon=True)
         fig.tight_layout()
-        fig.savefig(path, bbox_inches="tight", dpi=dpi)
-        plt.close(fig)
+        return fig

@@ -140,6 +140,22 @@ def entropy_error_iou(entropy_norm: jnp.ndarray, error_mask: jnp.ndarray,
     return jnp.where(union > 0, inter / union, 0.0)
 
 
+def entropy_error_iou_stats(entropy_norm: jnp.ndarray,
+                            error_mask: jnp.ndarray,
+                            valid: jnp.ndarray,
+                            thresholds: jnp.ndarray):
+    """(inter, union) per threshold over valid pixels — the streaming
+    sufficient statistics of `entropy_error_iou`, accumulable across batches
+    (IoU = inter/union at epoch end)."""
+    e = entropy_norm.reshape(-1)
+    v = valid.reshape(-1)
+    err = (error_mask.reshape(-1) > 0.5) & v
+    pred = (e[None, :] > thresholds[:, None]) & v[None, :]
+    inter = jnp.sum(pred & err[None, :], axis=1).astype(jnp.float32)
+    union = jnp.sum(pred | err[None, :], axis=1).astype(jnp.float32)
+    return inter, union
+
+
 def entropy_reliability(entropy_norm: jnp.ndarray, error_mask: jnp.ndarray,
                         n_bins: int = 10):
     """(totals, errors, err_rate, ece): does entropy predict error frequency?
@@ -156,6 +172,56 @@ def entropy_reliability(entropy_norm: jnp.ndarray, error_mask: jnp.ndarray,
     n = h.shape[0]
     ece = jnp.sum(totals / max(n, 1) * jnp.abs(centers - rate))
     return totals, errors, rate, ece
+
+
+def entropy_reliability_stats(entropy_norm: jnp.ndarray,
+                              error_mask: jnp.ndarray, valid: jnp.ndarray,
+                              n_bins: int = 10):
+    """(totals, errors) per entropy bin over valid pixels — streaming form
+    of `entropy_reliability`; err_rate/ECE derive on host at epoch end."""
+    h = entropy_norm.reshape(-1)
+    v = valid.reshape(-1)
+    e = (error_mask.reshape(-1) > 0.5) & v
+    edges = jnp.linspace(0.0, 1.0, n_bins + 1)
+    bins = jnp.clip(jnp.searchsorted(edges, h, side="right") - 1, 0,
+                    n_bins - 1)
+    bins = jnp.where(v, bins, n_bins)   # invalid pixels -> overflow bin
+    totals = jnp.zeros(n_bins + 1).at[bins].add(1.0)[:n_bins]
+    errors = jnp.zeros(n_bins + 1).at[bins].add(
+        e.astype(jnp.float32))[:n_bins]
+    return totals, errors
+
+
+def entropy_reliability_ece(totals, errors, n_bins: int = 10):
+    """Host-side finish: (err_rate, ece) from accumulated bin stats."""
+    import numpy as np
+    totals = np.asarray(totals, np.float64)
+    errors = np.asarray(errors, np.float64)
+    centers = (np.arange(n_bins) + 0.5) / n_bins
+    rate = np.divide(errors, totals, out=np.zeros_like(errors),
+                     where=totals > 0)
+    n = max(1.0, totals.sum())
+    ece = float(np.sum(totals / n * np.abs(centers - rate)))
+    return rate, ece
+
+
+def mc_reliability_stats(rng: jax.Array, alpha: jnp.ndarray,
+                         y_true: jnp.ndarray, valid: jnp.ndarray,
+                         n_bins: int = 10, n_samples: int = 64,
+                         eps: float = EPS):
+    """(hits, totals) of `mc_reliability_bins` restricted to valid pixels —
+    accumulable across batches."""
+    samples = sample_dirichlet(rng, alpha, n_samples)
+    agree = (jnp.argmax(samples, axis=-1) == y_true[None]).mean(axis=0)
+    conf = jnp.clip(agree.reshape(-1), eps, 1.0 - eps)
+    pred1 = jnp.argmax(mean_probs(alpha, eps), axis=-1).reshape(-1)
+    correct1 = (pred1 == y_true.reshape(-1)).astype(jnp.float32)
+    v = valid.reshape(-1)
+    bin_id = jnp.clip((conf * n_bins).astype(jnp.int32), 0, n_bins - 1)
+    bin_id = jnp.where(v, bin_id, n_bins)
+    totals = jnp.zeros(n_bins + 1).at[bin_id].add(1.0)[:n_bins]
+    hits = jnp.zeros(n_bins + 1).at[bin_id].add(correct1)[:n_bins]
+    return hits, totals
 
 
 def dirichlet_health(alpha: jnp.ndarray, labels: jnp.ndarray,
@@ -180,9 +246,21 @@ def dirichlet_health(alpha: jnp.ndarray, labels: jnp.ndarray,
     cover = [jnp.sum(valid & (hn < t)) / nvalid for t in (0.25, 0.5, 0.75)]
     pred = jnp.argmax(alpha, axis=-1)
     wrong = jnp.sum(valid & (pred != labels)) / nvalid
+    # gate activity of the comp / wle loss terms (reference logs these at
+    # trainer.py:901-942); constants match the Trainer's loss wiring
+    safe = jnp.where(valid, labels, 0)
+    p = alpha / (a0[..., None] + eps)
+    py = jnp.clip(jnp.take_along_axis(p, safe[..., None], -1)[..., 0], eps)
+    comp_gate = (1.0 - py) ** 1.25 * jax.nn.sigmoid((0.65 - py) / 0.15)
+    pmax = jnp.max(p, axis=-1)
+    wle_gate = (pred != safe).astype(p.dtype) * \
+        jax.nn.sigmoid(((pmax - py) - 0.05) / 0.08)
+    vf = valid.astype(p.dtype)
     out = {"wrong_rate": wrong,
            "top1_ge_0.9": jnp.sum(valid & (top1 >= 0.9)) / nvalid,
-           "H_norm_mean": jnp.nanmean(hn_v)}
+           "H_norm_mean": jnp.nanmean(hn_v),
+           "comp_gate_mean": jnp.sum(comp_gate * vf) / nvalid,
+           "wle_active_rate": jnp.sum(wle_gate * vf) / nvalid}
     for i, q in enumerate((1, 5, 25, 50, 75, 95, 99)):
         out[f"alpha0_p{q:02d}"] = a0_q[i]
         out[f"top1_p{q:02d}"] = t1_q[i]

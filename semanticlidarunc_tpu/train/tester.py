@@ -61,6 +61,7 @@ class Tester:
         self.ua_agg = unc_m.UncertaintyAccuracyAggregator()
         self.variables = None
         self._restore_report = None
+        self._extra_stats = {}
 
     def _load_variables(self, sample_batch):
         state = self.trainer.create_state(sample_batch, num_epochs=1,
@@ -79,6 +80,8 @@ class Tester:
 
     def _save_cache(self, path: str, n_frames: int):
         t = self.trainer
+        extra = {f"x_{k}_{i}": np.asarray(v) for k, pair in
+                 self._extra_stats.items() for i, v in enumerate(pair)}
         np.savez_compressed(
             path, n_frames=n_frames, confmat=t.iou_evaluator.confmat,
             ece_count=t.ece_eval.count, ece_conf=t.ece_eval.s_conf,
@@ -87,7 +90,7 @@ class Tester:
             roc_mi_err=t.auroc_eval_mi.h_err, roc_mi_ok=t.auroc_eval_mi.h_ok,
             rc_cnt=t.aurc_eval.cnt, rc_err=t.aurc_eval.err,
             unc_hist=self.unc_agg.hist,
-            ua_cnt=self.ua_agg.cnt, ua_cor=self.ua_agg.cor)
+            ua_cnt=self.ua_agg.cnt, ua_cor=self.ua_agg.cor, **extra)
 
     def _try_load_cache(self, path: str, n_frames: int) -> bool:
         if not os.path.exists(path):
@@ -108,6 +111,11 @@ class Tester:
             t.aurc_eval.cnt, t.aurc_eval.err = z["rc_cnt"], z["rc_err"]
             self.unc_agg.hist = z["unc_hist"]
             self.ua_agg.cnt, self.ua_agg.cor = z["ua_cnt"], z["ua_cor"]
+            self._extra_stats = {}
+            for key in ("ee", "er", "mcrel"):
+                if f"x_{key}_0" in z:
+                    self._extra_stats[key] = (z[f"x_{key}_0"],
+                                              z[f"x_{key}_1"])
             print(f"[Tester] restored outputs summary from {path}; "
                   "skipping inference")
             return True
@@ -134,6 +142,9 @@ class Tester:
         for agg in (t.iou_evaluator, t.ece_eval, t.auroc_eval,
                     t.auroc_eval_mi, t.aurc_eval, self.unc_agg, self.ua_agg):
             agg.reset()
+        # entropy-error / entropy-reliability / MC-Dirichlet-reliability
+        # sufficient statistics (reference probability_helper.py:339-450)
+        self._extra_stats = {}
 
         cache = self._cache_path(epoch_name)
         ran_inference = False
@@ -159,6 +170,15 @@ class Tester:
                 t.aurc_eval.err += np.asarray(out["rc"][1], np.float64)
                 self.unc_agg.update_stats(out["class_unc"])
                 self.ua_agg.update_stats(*out["ua"])
+                for key in ("ee", "er", "mcrel"):
+                    if key in out:
+                        a, b = (np.asarray(v, np.float64)
+                                for v in out[key])
+                        if key in self._extra_stats:
+                            pa, pb = self._extra_stats[key]
+                            self._extra_stats[key] = (pa + a, pb + b)
+                        else:
+                            self._extra_stats[key] = (a, b)
                 if self.visualize:
                     self._visualize_batch(batch)
             self._save_cache(cache, n_frames)
@@ -182,6 +202,39 @@ class Tester:
             self.out_dir, f"risk_coverage_{epoch_name}.png"))
         self.ua_agg.plot(save_path=os.path.join(
             self.out_dir, f"acc_vs_unc_{epoch_name}.png"))
+        entropy_ece = None
+        if "ee" in self._extra_stats:
+            from ..prob import dirichlet as pdl
+            from ..utils import reliability as rel
+            import matplotlib.pyplot as plt
+            inter, union = self._extra_stats["ee"]
+            ee_iou = np.divide(inter, union, out=np.zeros_like(inter),
+                               where=union > 0)
+            fig = pdl.plot_entropy_error_iou(
+                ee_iou, np.asarray(t.ee_thresholds),
+                save_path=os.path.join(
+                    self.out_dir, f"entropy_error_iou_{epoch_name}.png"))
+            plt.close(fig)
+            totals, errors = self._extra_stats["er"]
+            rate, entropy_ece = pdl.entropy_reliability_ece(totals, errors)
+            rel.plot_reliability(
+                rate, (np.arange(rate.size) + 0.5) / rate.size, totals,
+                os.path.join(self.out_dir,
+                             f"entropy_reliability_{epoch_name}.png"),
+                title=("Entropy reliability\n(does predictive entropy "
+                       "predict error frequency?)"),
+                xlabel="Predictive entropy (norm)", ylabel="Error rate")
+            if "mcrel" in self._extra_stats:
+                hits, totals_m = self._extra_stats["mcrel"]
+                acc_m = np.divide(hits, totals_m, out=np.zeros_like(hits),
+                                  where=totals_m > 0)
+                rel.plot_reliability(
+                    acc_m, (np.arange(acc_m.size) + 0.5) / acc_m.size,
+                    totals_m,
+                    os.path.join(self.out_dir,
+                                 f"mc_reliability_{epoch_name}.png"),
+                    title=("MC-Dirichlet reliability\n(argmax-agreement "
+                           "confidence vs 1-shot correctness)"))
         if t.class_names:
             cmap = self.cfg["extras"].get("class_colors", {})
             self.unc_agg.plot_ridgeline(
@@ -203,6 +256,7 @@ class Tester:
         self.save_results(result, self.out_dir, extra={
             "ECE": ece, "MCE": mce, "AUROC": auroc, "AUROC_MI": auroc_mi,
             "AURC": rc["AURC"], "EAURC": rc["EAURC"],
+            "entropy_ECE": entropy_ece,
             "top_k_error_recall": {int(k): float(v) for k, v in
                                    zip(rc["ks"], rc["recalls"])},
             "median_inference_ms": (float(np.median(infer_ms))

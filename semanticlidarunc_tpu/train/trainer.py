@@ -86,6 +86,8 @@ class Trainer:
         self.temperature: float | None = None
         self.total_train_steps = total_train_steps or 1
         self.eq_interval = 10
+        # entropy-error IoU threshold sweep (reference :389-421)
+        self.ee_thresholds = jnp.linspace(0.0, 1.0, 21)
 
         self._init_losses()
         self._build_steps()
@@ -374,10 +376,27 @@ class Trainer:
             cls_unc = unc_m.class_uncertainty_histograms(labels, h_norm, nc)
             ua_cnt, ua_cor = unc_m.acc_vs_uncertainty_bins(
                 h_norm, preds == labels, valid)
-            return {"confmat": cm, "ece": (e_cnt, e_conf, e_corr),
-                    "roc": (he, ho), "roc_mi": (he_mi, ho_mi),
-                    "rc": (rc_cnt, rc_err), "class_unc": cls_unc,
-                    "ua": (ua_cnt, ua_cor)}
+            # entropy/error diagnostics (reference probability_helper.py:
+            # 389-450): streaming (inter, union) per threshold + per-bin
+            # error-rate reliability stats
+            err = (preds != labels) & valid
+            ee = pdl.entropy_error_iou_stats(h_norm, err, valid,
+                                             self.ee_thresholds)
+            er = pdl.entropy_reliability_stats(h_norm, err, valid)
+            out = {"confmat": cm, "ece": (e_cnt, e_conf, e_corr),
+                   "roc": (he, ho), "roc_mi": (he_mi, ho_mi),
+                   "rc": (rc_cnt, rc_err), "class_unc": cls_unc,
+                   "ua": (ua_cnt, ua_cor), "ee": ee, "er": er}
+            if self.loss_name == "Dirichlet" and not self.use_mc_sampling:
+                # MC-Dirichlet reliability (reference :339-366): 64 Dirichlet
+                # draws per pixel on a stride-2 spatial subsample (the draw
+                # buffer at full res would be ~0.7 GB/scan for no extra
+                # diagram fidelity)
+                out["mcrel"] = pdl.mc_reliability_stats(
+                    jax.random.fold_in(rng, 1),
+                    evalu[:, ::2, ::2], labels[:, ::2, ::2],
+                    valid[:, ::2, ::2])
+            return out
 
         if self.mesh is not None:
             from ..parallel import mesh as pm
@@ -544,8 +563,21 @@ class Trainer:
                     self.writer.add_scalar(
                         f"train/w_{k}", float(self.current_weights.get(k, 0.0)),
                         self.global_step)
-                for k, g in getattr(self, "_last_raw_g", {}).items():
+                raw_g = getattr(self, "_last_raw_g", {})
+                g_tot = sum(raw_g.values()) or 1.0
+                eff = {k: raw_g.get(k, 0.0) *
+                       float(self.current_weights.get(k, 0.0))
+                       for k in raw_g}
+                eff_tot = sum(eff.values()) or 1.0
+                for k, g in raw_g.items():
                     self.writer.add_scalar(f"train/gradnorm_{k}", g,
+                                           self.global_step)
+                    # raw / effective grad-norm shares (reference
+                    # trainer.py:810-845)
+                    self.writer.add_scalar(f"train/gshare_{k}", g / g_tot,
+                                           self.global_step)
+                    self.writer.add_scalar(f"train/gshare_eff_{k}",
+                                           eff[k] / eff_tot,
                                            self.global_step)
                 for k, v in metrics.get("health", {}).items():
                     self.writer.add_scalar(f"dirichlet/{k}", float(v),
@@ -564,6 +596,10 @@ class Trainer:
         if self.writer:
             self.writer.add_scalar("train/mIoU_epoch", miou, epoch)
             self.writer.add_scalar("train/loss_epoch", stats["loss"], epoch)
+            # per-class IoU scalars (reference trainer.py:1055-1066)
+            for name, v in per_class.items():
+                if name != "mIoU" and v == v:
+                    self.writer.add_scalar(f"train/IoU_{name}", v, epoch)
         return state, stats
 
     def test_one_epoch(self, state: TrainState, loader, epoch: int = 0):
@@ -600,12 +636,45 @@ class Trainer:
         stats = {"mIoU": miou, "per_class": per_class, "ECE": ece, "MCE": mce,
                  "AUROC": auroc, "AUROC_MI": auroc_mi, "AURC": rc["AURC"],
                  "EAURC": rc["EAURC"], "batches": n}
+        if acc is not None and "er" in acc:
+            # entropy-as-error-probability reliability + entropy-error IoU
+            # sweep (reference probability_helper.py:389-450)
+            _, stats["entropy_ECE"] = pdl.entropy_reliability_ece(*acc["er"])
+            inter, union = acc["ee"]
+            stats["entropy_error_iou"] = np.divide(
+                inter, union, out=np.zeros_like(np.asarray(inter)),
+                where=np.asarray(union) > 0)
         if self.writer:
-            for k in ("mIoU", "ECE", "MCE", "AUROC", "AUROC_MI", "AURC"):
-                v = stats[k]
-                if v == v:  # skip NaN
+            for k in ("mIoU", "ECE", "MCE", "AUROC", "AUROC_MI", "AURC",
+                      "entropy_ECE"):
+                v = stats.get(k)
+                if v is not None and v == v:  # skip NaN
                     self.writer.add_scalar(f"test/{k}", v, epoch)
+            for name, v in per_class.items():
+                if name != "mIoU" and v == v:
+                    self.writer.add_scalar(f"test/IoU_{name}", v, epoch)
+            self._embed_figures(epoch, stats)
         return stats
+
+    def _embed_figures(self, epoch: int, stats: dict):
+        """Embed the eval figures in TensorBoard (reference trainer.py:
+        1240-1281 uses writer.add_figure for acc-vs-unc/ECE/ROC)."""
+        try:
+            import matplotlib.pyplot as plt
+        except ImportError:
+            return
+        figs = {"ece": self.ece_eval.figure(),
+                "roc": self.auroc_eval.figure(),
+                "roc_mi": self.auroc_eval_mi.figure(
+                    title="ROC: error detection (MI score)")}
+        if "entropy_error_iou" in stats:
+            figs["entropy_error_iou"] = pdl.plot_entropy_error_iou(
+                stats["entropy_error_iou"],
+                np.asarray(self.ee_thresholds))
+        for name, fig in figs.items():
+            if fig is not None:
+                self.writer.add_figure(f"test/{name}", fig, epoch)
+                plt.close(fig)
 
     def fit(self, state: TrainState, train_loader, val_loader,
             num_epochs: int, test_every: int = 2, save_every: int = 2):

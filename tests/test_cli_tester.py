@@ -47,6 +47,31 @@ def test_cli_train_then_test(smoke_cfg, tmp_path):
     res = json.load(open(results[0]))
     assert "mIoU" in res and "ECE" in res and "AUROC" in res
     assert res["checkpoint"] == finals[0]
+    # entropy/error + MC-Dirichlet reliability diagnostics are wired into
+    # the Tester (reference probability_helper.py:339-450)
+    assert res.get("entropy_ECE") is not None
+    out_dir = os.path.dirname(results[0])
+    arts = os.listdir(out_dir)
+    for prefix in ("entropy_error_iou_", "entropy_reliability_",
+                   "mc_reliability_", "ece_", "roc_", "risk_coverage_"):
+        assert any(a.startswith(prefix) for a in arts), (prefix, arts)
+
+    # cache roundtrip: a re-run over the same out_dir restores the summary
+    # (skips inference) and reproduces the diagnostics
+    from semanticlidarunc_tpu.cli.train_semantics import build_loaders
+    from semanticlidarunc_tpu.models import registry
+    from semanticlidarunc_tpu.train.tester import Tester
+    from semanticlidarunc_tpu.utils import config as cfg_util
+
+    cfg2 = cfg_util.with_extras(cfg_util.load_config(str(test_cfg)))
+    _, test_loader = build_loaders(cfg2, "test")
+    tester = Tester(registry.build_model(cfg2), cfg2, checkpoint=finals[0],
+                    out_dir=out_dir)
+    tester.run(test_loader)
+    res2 = json.load(open(results[0]))
+    assert res2["ran_inference"] is False
+    assert abs(res2["entropy_ECE"] - res["entropy_ECE"]) < 1e-9
+    assert abs(res2["mIoU"] - res["mIoU"]) < 1e-9
 
 
 def test_config_yaml_files_parse():

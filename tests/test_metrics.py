@@ -38,8 +38,10 @@ def test_iou_evaluator_semantics(rng):
     assert abs(miou - np.mean([0.5, 2 / 3, 1.0])) < 1e-9
 
 
-def test_ece_binned_equals_exact(rng):
-    logits, labels = _preds_labels(rng)
+def test_ece_binned_equals_exact():
+    # own RNG: the shared session fixture makes the data (and the marginal
+    # fp tolerance on MCE) depend on test execution order
+    logits, labels = _preds_labels(np.random.default_rng(42))
     n_bins = 15
     agg = ece_m.ECEAggregator(n_bins=n_bins, mode="logits", ignore_index=0)
     agg.update(jnp.asarray(logits), jnp.asarray(labels))
