@@ -8,7 +8,7 @@ compile. This version keeps static shapes:
 - invalid pixels get error 0 and fg 0; since sorted zero-error entries
   multiply the Jaccard-gradient tail by zero and prefix cumsums are unaffected,
   the loss value and gradients are EXACT, not approximate (verified against a
-  literal port in tests/test_lovasz.py);
+  literal port of the reference in tests/test_losses.py);
 - all C classes are sorted in one batched descending sort ([C, P] on the MXU-
   friendly layout), and absent classes are masked out of the final mean,
   reproducing `classes='present'` semantics.
