@@ -94,7 +94,16 @@ class SemanticFPN(nn.Module):
             dtype=self.dtype)
         self.dec2 = GNConv(base[4], dtype=self.dtype)
         self.dec_up = UpsampleBlock(base[4] // 2, scale=2, dtype=self.dtype)
-        self.logits_conv = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype)
+        # raw params in the nn.Conv tree layout ("logits_conv/{kernel,bias}")
+        # so the 1x1 head can run on phase-form tensors (see _head_tail_phase)
+        # while torch converters and existing checkpoints load unchanged
+        self.logits_params = self.param(
+            "logits_conv",
+            lambda rng: {
+                "kernel": nn.initializers.lecun_normal()(
+                    rng, (1, 1, base[4] // 2, self.num_classes)),
+                "bias": jnp.zeros((self.num_classes,), jnp.float32),
+            })
 
     def features(self, x, meta, train: bool = False):
         """Deterministic trunk: fused feature pyramid at 1/2 resolution."""
@@ -132,13 +141,26 @@ class SemanticFPN(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         return nn.relu(self.dec1_gn(y))
 
-    def _head_tail(self, y):
+    def _head_tail_phase(self, y):
+        """dec2 -> fused dec_up (phase form) -> 1x1 logits: [B,h,w,2,2,ncls].
+
+        Phase form keeps every per-pixel op (logits matmul, and downstream
+        softmax/entropy in the MC engine) at 1/2-resolution layout; a single
+        depth_to_space at the very end replaces a full-resolution round-trip
+        per op. Values are identical to the full-res chain.
+        """
         y = self.dec2(y)
-        y = self.dec_up(y)
-        out = self.logits_conv(y).astype(jnp.float32)
+        y = self.dec_up(y, phase_form=True)       # [B, h, w, 2, 2, C']
+        k = self.logits_params["kernel"][0, 0].astype(self.dtype)
+        b = self.logits_params["bias"].astype(self.dtype)
+        out = (jnp.einsum("...c,co->...o", y, k) + b).astype(jnp.float32)
         if self.head_activation == "elu_plus_one":
             out = jax.nn.elu(out) + 1.0
         return out
+
+    def _head_tail(self, y):
+        from ..ops.upconv import depth_to_space
+        return depth_to_space(self._head_tail_phase(y))
 
     def head(self, fused, stochastic: bool = False):
         """Stochastic head: pyramid dropout + decoder -> raw logits."""
@@ -191,6 +213,24 @@ class SemanticFPN(nn.Module):
     def head_post(self, y1):
         """Per-sample tail after head_mc_pre: [B, H, W, C_dec] -> logits."""
         return self._head_tail(nn.relu(self.dec1_gn(y1)))
+
+    def head_mc_tail_raw(self, y1):
+        """MC tail up to (but excluding) dec_up's normalization, for the
+        fused Pallas reduction (ops/pallas_mc_tail.py): [TB, h, w, C_dec] ->
+        (phase_raw [TB, h, w, 2, 2, C'], gn_scale [TB, C'], gn_bias [TB, C'])
+        where the affine folds dec_up's GroupNorm. The remaining per-sample
+        math (affine, relu, 1x1 logits, softmax, entropy, sum over T) runs
+        inside the kernel without touching HBM."""
+        z = nn.relu(self.dec1_gn(y1))
+        z = self.dec2(z)
+        return self.dec_up(z, raw_affine=True)
+
+    def head_post_phase(self, y1):
+        """head_post in phase form: [B, h, w, C_dec] -> [B, h, w, 2, 2, ncls]
+        logits, where full-res pixel (2i+dr, 2j+dc) lives at [i, j, dr, dc].
+        The MC engine accumulates summaries in this layout and converts once
+        at the end (prob.mc_dropout.mc_fused_summaries)."""
+        return self._head_tail_phase(nn.relu(self.dec1_gn(y1)))
 
     def __call__(self, x, meta, train: bool = False, stochastic: bool | None = None):
         stochastic = train if stochastic is None else stochastic

@@ -41,21 +41,47 @@ class ConvBN(nn.Module):
 
 class UpsampleBlock(nn.Module):
     """Interpolate -> 3x3 conv -> GroupNorm -> ReLU (alias-free)
-    (reference: semanticFCN_opt.py:10-28)."""
+    (reference: semanticFCN_opt.py:10-28).
+
+    TPU-first: the bilinear-upsample + conv pair runs as ONE phase-decomposed
+    convolution at the LOW resolution (ops/upconv.py), never materializing
+    the (s*h, s*w, Cin) interpolated tensor — exact to resize->conv within
+    float reassociation (tests/test_upconv.py). The param tree matches the
+    nn.Conv layout ("Conv_0/kernel") so torch-checkpoint converters and
+    existing orbax checkpoints load unchanged.
+    """
     features: int
     scale: int
     groups: int = 8
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * self.scale, w * self.scale, c),
-                             method="bilinear")
-        x = nn.Conv(self.features, (3, 3), use_bias=False, dtype=self.dtype)(x)
-        x = nn.GroupNorm(num_groups=gn_groups(self.features, self.groups),
-                         dtype=self.dtype)(x)
-        return nn.relu(x)
+    def __call__(self, x, phase_form: bool = False, raw_affine: bool = False):
+        from ..ops import upconv
+
+        kernel = self.param(
+            "Conv_0",
+            lambda rng: {"kernel": nn.initializers.lecun_normal()(
+                rng, (3, 3, x.shape[-1], self.features))})["kernel"]
+        gnp = self.param(
+            "GroupNorm_0",
+            lambda rng: {"scale": jnp.ones((self.features,), jnp.float32),
+                         "bias": jnp.zeros((self.features,), jnp.float32)})
+        # kernel stays f32 into fold_kernel (the bilinear folding happens in
+        # full precision); the folded kernel is cast to the compute dtype
+        # inside upsample_conv_phase.
+        y = upconv.upsample_conv_phase(x.astype(self.dtype), kernel,
+                                       self.scale)
+        g = gn_groups(self.features, self.groups)
+        a, b = _groupnorm_affine(y, g, gnp["scale"], gnp["bias"])
+        if raw_affine:
+            # pre-norm phase output + the per-(sample, channel) affine that
+            # folds the GroupNorm; consumed by the fused Pallas MC tail
+            return y, a, b
+        yn = (y.astype(jnp.float32) * a[:, None, None, None, None, :]
+              + b[:, None, None, None, None, :]).astype(self.dtype)
+        out = nn.relu(yn)
+        return out if phase_form else upconv.depth_to_space(out)
 
 
 class SpatialAttention(nn.Module):
@@ -106,6 +132,28 @@ class GNConv(nn.Module):
         x = nn.GroupNorm(num_groups=gn_groups(self.features, self.groups),
                          dtype=self.dtype)(x)
         return nn.relu(x)
+
+
+def _groupnorm_affine(y_phase: jnp.ndarray, groups: int, scale: jnp.ndarray,
+                      bias: jnp.ndarray, eps: float = 1e-6):
+    """GroupNorm over phase-form [B,h,w,s,s,C], folded to per-(B, C) affine.
+
+    gn(x) = (x - mu) * rsqrt(var + eps) * scale + bias collapses to
+    a[b, c] * x + bb[b, c] once the per-(sample, group) statistics are known;
+    statistics pool over (h, w, s, s, channels-in-group) — identical to
+    full-resolution flax nn.GroupNorm (epsilon 1e-6, f32 stats).
+    """
+    b = y_phase.shape[0]
+    c = y_phase.shape[-1]
+    yg = y_phase.astype(jnp.float32).reshape(b, -1, groups, c // groups)
+    mean = yg.mean(axis=(1, 3))                           # [B, G]
+    var = ((yg - mean[:, None, :, None]) ** 2).mean(axis=(1, 3))
+    inv = jax.lax.rsqrt(var + eps)                        # [B, G]
+    inv_c = jnp.repeat(inv, c // groups, axis=1)          # [B, C]
+    mean_c = jnp.repeat(mean, c // groups, axis=1)
+    a = inv_c * scale[None, :]
+    bb = bias[None, :] - mean_c * a
+    return a, bb
 
 
 def resize_nearest(x: jnp.ndarray, scale: float) -> jnp.ndarray:

@@ -97,24 +97,90 @@ def mc_split_summaries(features_fn: Callable, head_fn: Callable,
 
 def mc_fused_summaries(model, variables: Any, inputs: tuple, rng: jax.Array,
                        n_samples: int, temperature: float | None = None,
-                       class_slice: int | None = None, eps: float = 1e-12):
+                       class_slice: int | None = None, eps: float = 1e-12,
+                       use_pallas: bool | None = None,
+                       samples_per_step: int = 1):
     """(p_bar, H_norm, MI_norm) via the model's weight-folded MC head.
 
     For models exposing `head_mc_pre`/`head_post` (the FPN family, any batch
     size): the trunk runs once, all T dropout masks fold into dec1's
     weights so the T samples execute as ONE wide convolution, and the
-    memory-bound full-resolution tail runs per sample inside a scan with
-    running (sum p, sum H) accumulators. Same sampling law as the vmapped
-    head (masks come from a different RNG stream).
+    memory-bound tail runs per sample inside a scan with running
+    (sum p, sum H) accumulators. Same sampling law as the vmapped head
+    (masks come from a different RNG stream).
+
+    When the model additionally exposes `head_post_phase` (fused
+    upsample+conv in phase layout, models/fpn.py), the whole tail runs at
+    1/2 resolution in [B, h, w, 2, 2, C] phase form — no full-resolution
+    tensor exists until the single depth_to_space on the final summaries.
+
+    The tail processes `samples_per_step` samples per lax.scan step, folded
+    into the batch dimension (GroupNorm statistics are per batch element, so
+    per-sample normalization is preserved exactly). Measured on v5e resnet50
+    T=20 at 64x2048 the scan-of-1 wins (12.3 ms tail vs 14.5 fully batched):
+    per-sample phase-form tensors stay small enough for XLA to fuse the
+    normalize/softmax/accumulate chain without spilling.
+
+    `use_pallas=True` routes the post-dec2 math through the fused Pallas
+    reduction (ops/pallas_mc_tail.py) — bit-compatible (tests), currently
+    opt-in: the kernel itself is fast (1.6 ms for all 20 samples) but
+    requires the batched upstream convs, which XLA schedules poorly.
     """
     fused = model.apply(variables, *inputs, train=False,
                         method=model.features)
     y1 = model.apply(variables, fused, rng, n_samples,
                      method=model.head_mc_pre)        # [T, B, H, W, C_dec]
+    post = getattr(model, "head_post_phase", None) or model.head_post
+    t, b = y1.shape[0], y1.shape[1]
 
-    def body(carry, y):
-        p_sum, h_sum = carry
-        logits = model.apply(variables, y, method=model.head_post)
+    can_pallas = (hasattr(model, "head_mc_tail_raw")
+                  and getattr(model, "head_activation", "none") == "none")
+    if use_pallas is None:
+        use_pallas = False
+    if use_pallas and can_pallas:
+        from ..ops import pallas_mc_tail as pmt
+
+        # per-sample scan for the convs (XLA schedules small per-sample
+        # tensors well; the fully batched T*B variant measured ~2x slower),
+        # stacking phase activations into one [T, B, N, P*C] buffer ...
+        def conv_body(_, y_t):
+            raw_t, a_t, b_t = model.apply(variables, y_t,
+                                          method=model.head_mc_tail_raw)
+            return None, (raw_t, a_t, b_t)
+
+        _, (raw, ga, gb) = jax.lax.scan(conv_body, None, y1)
+        tt, bb, h, w, s, s2, cp = raw.shape
+        phases = s * s2
+        act = raw.reshape(t, b, h * w, phases * cp)
+        # ... then ONE Pallas pass over all T samples: the accumulators
+        # live in VMEM for the whole T loop, so logits/probabilities/
+        # entropies never exist in HBM.
+        # per-channel affine broadcasts over phase-major channel layout
+        ga = jnp.tile(ga.reshape(t * b, cp), (1, phases)).reshape(
+            t, b, phases * cp)
+        gb = jnp.tile(gb.reshape(t * b, cp), (1, phases)).reshape(
+            t, b, phases * cp)
+        wl = variables["params"]["logits_conv"]["kernel"][0, 0]
+        bl = variables["params"]["logits_conv"]["bias"]
+        if class_slice is not None:
+            wl, bl = wl[:, :class_slice], bl[:class_slice]
+        if temperature is not None:
+            tt = max(1e-3, float(temperature))
+            wl, bl = wl / tt, bl / tt
+        p_sum, h_sum = pmt.mc_tail_reduce(
+            act, ga, gb, wl, bl,
+            interpret=(jax.default_backend() != "tpu"))
+        ncls = wl.shape[1]
+        p_sum = p_sum.reshape(b, h, w, s, s2, ncls)
+        h_sum = h_sum.reshape(b, h, w, s, s2)
+        return _mc_epilogue(p_sum, h_sum, n_samples, eps)
+
+    k = _chunk_size(n_samples, samples_per_step)
+
+    def summarize(y_chunk):                     # [k, B, h, w, C_dec]
+        logits = model.apply(
+            variables, y_chunk.reshape((k * b,) + y_chunk.shape[2:]),
+            method=post)
         if class_slice is not None:
             logits = logits[..., :class_slice]
         if temperature is not None:
@@ -122,21 +188,49 @@ def mc_fused_summaries(model, variables: Any, inputs: tuple, rng: jax.Array,
         logp = jax.nn.log_softmax(logits, axis=-1)
         p = jnp.exp(logp)
         h = -jnp.sum(p * logp, axis=-1)
-        return (p_sum + p, h_sum + h), None
+        shape = (k, b) + logits.shape[1:]
+        return (p.reshape(shape).sum(0, dtype=jnp.float32),
+                h.reshape(shape[:-1]).sum(0, dtype=jnp.float32))
 
-    probe = jax.eval_shape(
-        lambda v, y: model.apply(v, y[0], method=model.head_post),
-        variables, y1)
-    c = probe.shape[-1] if class_slice is None else class_slice
-    init = (jnp.zeros(probe.shape[:-1] + (c,), jnp.float32),
-            jnp.zeros(probe.shape[:-1], jnp.float32))
-    (p_sum, h_sum), _ = jax.lax.scan(body, init, y1)
+    if k == t:
+        p_sum, h_sum = summarize(y1)
+    else:
+        def body(carry, y_chunk):
+            p_sum, h_sum = carry
+            dp, dh = summarize(y_chunk)
+            return (p_sum + dp, h_sum + dh), None
+        probe = jax.eval_shape(summarize, y1[:k])
+        init = (jnp.zeros(probe[0].shape, jnp.float32),
+                jnp.zeros(probe[1].shape, jnp.float32))
+        (p_sum, h_sum), _ = jax.lax.scan(
+            body, init, y1.reshape((t // k, k) + y1.shape[1:]))
+
+    return _mc_epilogue(p_sum, h_sum, n_samples, eps)
+
+
+def _mc_epilogue(p_sum, h_sum, n_samples: int, eps: float):
+    """(p_sum, h_sum) -> (p_bar, H_norm, MI_norm), un-phasing if needed."""
+    c = p_sum.shape[-1]
     p_bar = p_sum / n_samples
     h_bar = -jnp.sum(jnp.clip(p_bar, eps) * jnp.log(jnp.clip(p_bar, eps)),
                      axis=-1)
     mi = h_bar - h_sum / n_samples
+    if p_bar.ndim == 6:                   # phase form [B,h,w,s,s,C]
+        from ..ops.upconv import depth_to_space
+        p_bar = depth_to_space(p_bar)
+        h_bar = depth_to_space(h_bar[..., None])[..., 0]
+        mi = depth_to_space(mi[..., None])[..., 0]
     log_c = math.log(c)
     return p_bar, h_bar / log_c, mi / log_c
+
+
+def _chunk_size(t: int, target: int = 20) -> int:
+    """Largest divisor of t that is <= target (bounds peak HBM while keeping
+    the batched tail convs wide)."""
+    for k in range(min(t, target), 0, -1):
+        if t % k == 0:
+            return k
+    return 1
 
 
 def mc_predictive_summaries(model, variables: Any, inputs: tuple,
