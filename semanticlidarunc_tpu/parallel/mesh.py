@@ -133,3 +133,57 @@ def parse_mesh_spec(spec: str | None) -> tuple[int, int] | None:
 def psum_tree(tree: Any, axis_name: str = "data"):
     """Explicit metric reduction for use inside shard_map-style code."""
     return jax.tree_util.tree_map(lambda x: jax.lax.psum(x, axis_name), tree)
+
+
+def shard_mc_summaries(model, mesh: Mesh, variables, inputs: tuple,
+                       rng, n_samples: int,
+                       temperature: float | None = None,
+                       class_slice: int | None = None):
+    """(p_bar, H_norm, MI_norm) with the MC SAMPLE axis sharded over "data".
+
+    The third parallelism axis (SURVEY.md §2.7): T dropout samples are
+    embarrassingly parallel, so for single-scan latency on a multi-chip mesh
+    each device runs the deterministic trunk once (replicated — it is the
+    cheap part) plus T/n_data stochastic heads; the p-bar / entropy
+    reductions over T lower to psums over ICI. Distinct from `shard_batch`
+    data-parallelism, which scales throughput over scans instead.
+
+    Requires n_samples % mesh "data" size == 0. Matches the single-device
+    `mc_forward` + `mc_summaries` math exactly (same per-key dropout
+    streams); tests/test_parallel.py asserts equality on a virtual mesh.
+    """
+    from ..prob import mc_dropout as mc
+
+    d = mesh.shape["data"]
+    if n_samples % d:
+        raise ValueError(f"n_samples={n_samples} must divide over the "
+                         f"data axis ({d} devices)")
+    keys = jax.random.split(rng, n_samples)
+    keys = jax.device_put(
+        keys, NamedSharding(mesh, P("data", None)))
+    rep = replicated(mesh)
+    inputs = tuple(jax.device_put(x, rep) for x in inputs)
+
+    has_split = hasattr(model, "features") and hasattr(model, "head")
+
+    @jax.jit
+    def run(variables, inputs, keys):
+        if has_split:
+            fused = model.apply(variables, *inputs, train=False,
+                                method=model.features)
+
+            def one(key):
+                return model.apply(variables, fused, stochastic=True,
+                                   rngs={"dropout": key}, method=model.head)
+        else:
+            def one(key):
+                out = model.apply(variables, *inputs, train=False,
+                                  stochastic=True, rngs={"dropout": key})
+                return out[0] if isinstance(out, (list, tuple)) else out
+
+        logits = jax.vmap(one)(keys)          # [T, ...] sharded over T
+        if class_slice is not None:
+            logits = logits[..., :class_slice]
+        return mc.mc_summaries(logits, temperature=temperature)
+
+    return run(variables, inputs, keys)

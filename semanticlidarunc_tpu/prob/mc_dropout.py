@@ -149,7 +149,7 @@ def mc_fused_summaries(model, variables: Any, inputs: tuple, rng: jax.Array,
             return None, (raw_t, a_t, b_t)
 
         _, (raw, ga, gb) = jax.lax.scan(conv_body, None, y1)
-        tt, bb, h, w, s, s2, cp = raw.shape
+        h, w, s, s2, cp = raw.shape[2:]
         phases = s * s2
         act = raw.reshape(t, b, h * w, phases * cp)
         # ... then ONE Pallas pass over all T samples: the accumulators
@@ -165,8 +165,8 @@ def mc_fused_summaries(model, variables: Any, inputs: tuple, rng: jax.Array,
         if class_slice is not None:
             wl, bl = wl[:, :class_slice], bl[:class_slice]
         if temperature is not None:
-            tt = max(1e-3, float(temperature))
-            wl, bl = wl / tt, bl / tt
+            temp = max(1e-3, float(temperature))
+            wl, bl = wl / temp, bl / temp
         p_sum, h_sum = pmt.mc_tail_reduce(
             act, ga, gb, wl, bl,
             interpret=(jax.default_backend() != "tpu"))

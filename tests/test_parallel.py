@@ -185,3 +185,33 @@ def test_trainer_mesh_epoch_end_to_end():
     # (pads land only in the zeroed-at-compute ignore row)
     n_real = sum(int((np.asarray(b["labels"]) != 0).sum()) for b in loader)
     assert int(tr.iou_evaluator.confmat[1:].sum()) == n_real
+
+
+def test_mc_sample_sharding_matches_single_device():
+    """T MC samples sharded over the data axis == single-device vmapped MC
+    (same keys, same dropout masks), exactly."""
+    from semanticlidarunc_tpu.prob import mc_dropout as mc
+
+    cfg = _cfg()
+    model = registry.build_model(cfg)
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(3)
+    x = jnp.asarray(rng.random((1, 32, 64, 2)), jnp.float32)
+    meta = jnp.asarray(rng.standard_normal((1, 32, 64, 6)), jnp.float32)
+    variables = model.init({"params": key, "dropout": key}, x, meta,
+                           train=False)
+
+    ref_logits = mc.mc_forward(
+        lambda v, *i, **kw: model.apply(v, *i, **kw),
+        variables, (x, meta), key, 8)
+    p_ref, h_ref, mi_ref = mc.mc_summaries(ref_logits)
+
+    mesh = pm.make_mesh(8, data=8, model=1)
+    p, h, mi = pm.shard_mc_summaries(model, mesh, variables, (x, meta),
+                                     key, 8)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(p_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mi), np.asarray(mi_ref), atol=1e-5)
+
+    with pytest.raises(ValueError):
+        pm.shard_mc_summaries(model, mesh, variables, (x, meta), key, 6)
