@@ -57,7 +57,11 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description="torch -> orbax converter")
     p.add_argument("--torch_ckpt", required=True)
     p.add_argument("--backbone", default="resnet50",
-                   choices=["resnet18", "resnet34", "resnet50"])
+                   choices=["resnet18", "resnet34", "resnet50",
+                            "shufflenet_v2_x0_5", "shufflenet_v2_x1_0",
+                            "shufflenet_v2_x1_5", "shufflenet_v2_x2_0",
+                            "regnet_y_400mf", "regnet_y_800mf",
+                            "regnet_y_1_6gf", "regnet_y_3_2gf"])
     p.add_argument("--num_classes", type=int, required=True)
     p.add_argument("--input_channels", type=int, default=2)
     p.add_argument("--meta_channels", type=int, default=6)

@@ -1,14 +1,18 @@
-"""Convert reference PyTorch checkpoints (SemanticNetworkWithFPN, resnet
-backbones) into this framework's flax variables.
+"""Convert reference PyTorch checkpoints (SemanticNetworkWithFPN) into this
+framework's flax variables.
 
 Enables users of the reference to carry their trained weights over:
 `convert_reichert_state_dict` maps a torch `state_dict` of
-/root/reference/src/baselines/Reichert/semanticFCN_opt.py (resnet18/34/50
-backbones) onto a `SemanticFPN` variables pytree. Forward parity of the
-converted model vs the torch original is verified in
+/root/reference/src/baselines/Reichert/semanticFCN_opt.py onto a
+`SemanticFPN` variables pytree, for the resnet{18,34,50},
+shufflenet_v2_x{0_5,1_0,1_5,2_0} and regnet_y_{400mf,800mf,1_6gf,3_2gf}
+backbone families (the full set the reference publishes mIoU numbers for,
+Images/plot_inference_time.py:5-9). Forward parity of converted models vs
+torch oracles with reference-identical state_dict naming is verified in
 tests/test_torch_parity.py.
 
-Layout transforms: torch conv weight (O, I, kH, kW) -> flax (kH, kW, I, O);
+Layout transforms: torch conv weight (O, I, kH, kW) -> flax (kH, kW, I, O)
+(identical for depthwise convs: torch (O, 1, kh, kw) -> flax (kh, kw, 1, O));
 BatchNorm weight/bias -> scale/bias + running stats -> batch_stats.
 """
 from __future__ import annotations
@@ -53,27 +57,13 @@ def convert_reichert_state_dict(state_dict: dict, backbone: str,
                sd[prefix + ".weight"])
         set_in(params, (*flax_mod, flax_name, "bias"), sd[prefix + ".bias"])
 
-    # ---- trunk ----
-    set_in(params, ("trunk", "Conv_0", "kernel"),
-           _conv(sd["backbone.conv1.weight"]))
-    sizes = _resnet_stage_sizes(backbone)
-    bottleneck = backbone == "resnet50"
-    blk = 0
-    for stage, n_blocks in enumerate(sizes):
-        for j in range(n_blocks):
-            t = f"backbone.layer{stage + 1}.{j}"
-            f = ("trunk", f"{'Bottleneck' if bottleneck else 'BasicBlock'}"
-                          f"_{blk}")
-            n_convs = 3 if bottleneck else 2
-            for ci in range(n_convs):
-                set_in(params, (*f, f"Conv_{ci}", "kernel"),
-                       _conv(sd[f"{t}.conv{ci + 1}.weight"]))
-                bn(f"{t}.bn{ci + 1}", f, f"BatchNorm_{ci}")
-            if f"{t}.downsample.0.weight" in sd:
-                set_in(params, (*f, f"Conv_{n_convs}", "kernel"),
-                       _conv(sd[f"{t}.downsample.0.weight"]))
-                bn(f"{t}.downsample.1", f, f"BatchNorm_{n_convs}")
-            blk += 1
+    # ---- trunk (per backbone family) ----
+    if backbone.startswith("shufflenet"):
+        _shufflenet_trunk(sd, set_in, params, bn)
+    elif backbone.startswith("regnet"):
+        _regnet_trunk(sd, set_in, params, bn, backbone)
+    else:
+        _resnet_trunk(sd, set_in, params, bn, backbone)
 
     # ---- FPN blocks (Conv+BN+ReLU sequentials) ----
     for i in (1, 2, 3, 4):
@@ -112,6 +102,97 @@ def convert_reichert_state_dict(state_dict: dict, backbone: str,
     set_in(params, ("logits_conv", "bias"), sd["decoder_semantic.7.bias"])
 
     return {"params": params, "batch_stats": stats}
+
+
+def _resnet_trunk(sd, set_in, params, bn, backbone):
+    """torchvision resnet sliced as the reference does (stride-1 3x3 stem,
+    layers 1-4; semanticFCN_opt.py:191-200)."""
+    set_in(params, ("trunk", "Conv_0", "kernel"),
+           _conv(sd["backbone.conv1.weight"]))
+    sizes = _resnet_stage_sizes(backbone)
+    bottleneck = backbone == "resnet50"
+    blk = 0
+    for stage, n_blocks in enumerate(sizes):
+        for j in range(n_blocks):
+            t = f"backbone.layer{stage + 1}.{j}"
+            f = ("trunk", f"{'Bottleneck' if bottleneck else 'BasicBlock'}"
+                          f"_{blk}")
+            n_convs = 3 if bottleneck else 2
+            for ci in range(n_convs):
+                set_in(params, (*f, f"Conv_{ci}", "kernel"),
+                       _conv(sd[f"{t}.conv{ci + 1}.weight"]))
+                bn(f"{t}.bn{ci + 1}", f, f"BatchNorm_{ci}")
+            if f"{t}.downsample.0.weight" in sd:
+                set_in(params, (*f, f"Conv_{n_convs}", "kernel"),
+                       _conv(sd[f"{t}.downsample.0.weight"]))
+                bn(f"{t}.downsample.1", f, f"BatchNorm_{n_convs}")
+            blk += 1
+
+
+def _shufflenet_trunk(sd, set_in, params, bn):
+    """torchvision shufflenet_v2 sliced as the reference does (stride-1 stem
+    conv, stages 2-4, conv5; semanticFCN_opt.py:228-237). Every variant has
+    stage repeats (4, 8, 4); the flax ShuffleUnit's call-order param naming
+    is proj (stride-2 units only: Conv_0 dw + Conv_1 1x1) then branch_main
+    (1x1, dw, 1x1)."""
+    set_in(params, ("trunk", "Conv_0", "kernel"),
+           _conv(sd["backbone.conv1.0.weight"]))
+    bn("backbone.conv1.1", ("trunk",), "BatchNorm_0")
+    k = 0
+    for stage, n in ((2, 4), (3, 8), (4, 4)):
+        for j in range(n):
+            t = f"backbone.stage{stage}.{j}"
+            f = ("trunk", f"ShuffleUnit_{k}")
+            if j == 0:     # stride-2 unit: torch branch1 -> flax proj convs
+                pairs = [("branch1.0", 0), ("branch1.2", 1),
+                         ("branch2.0", 2), ("branch2.3", 3), ("branch2.5", 4)]
+                bns = [("branch1.1", 0), ("branch1.3", 1), ("branch2.1", 2),
+                       ("branch2.4", 3), ("branch2.6", 4)]
+            else:
+                pairs = [("branch2.0", 0), ("branch2.3", 1), ("branch2.5", 2)]
+                bns = [("branch2.1", 0), ("branch2.4", 1), ("branch2.6", 2)]
+            for tname, ci in pairs:
+                set_in(params, (*f, f"Conv_{ci}", "kernel"),
+                       _conv(sd[f"{t}.{tname}.weight"]))
+            for tname, ci in bns:
+                bn(f"{t}.{tname}", f, f"BatchNorm_{ci}")
+            k += 1
+    set_in(params, ("trunk", "Conv_1", "kernel"),
+           _conv(sd["backbone.conv5.0.weight"]))
+    bn("backbone.conv5.1", ("trunk",), "BatchNorm_1")
+
+
+def _regnet_trunk(sd, set_in, params, bn, backbone):
+    """torchvision regnet_y sliced as the reference does (stride-1 stem,
+    trunk_output blocks 1-4; semanticFCN_opt.py:219-226). Flax YBlock naming:
+    Conv_0/1 = f.a/f.b, SqueezeExcite_0.Conv_0/1 = f.se.fc1/fc2,
+    Conv_2 = f.c, Conv_3 = proj (first block of each stage)."""
+    from ..models.backbones import BACKBONE_SPECS
+
+    set_in(params, ("trunk", "Conv_0", "kernel"),
+           _conv(sd["backbone.stem.0.weight"]))
+    bn("backbone.stem.1", ("trunk",), "BatchNorm_0")
+    depths = BACKBONE_SPECS[backbone]["depths"]
+    k = 0
+    for s, d in enumerate(depths, start=1):
+        for j in range(d):
+            t = f"backbone.trunk_output.block{s}.block{s}-{j}"
+            f = ("trunk", f"YBlock_{k}")
+            for tname, ci in (("f.a.0", 0), ("f.b.0", 1), ("f.c.0", 2)):
+                set_in(params, (*f, f"Conv_{ci}", "kernel"),
+                       _conv(sd[f"{t}.{tname}.weight"]))
+            for tname, ci in (("f.a.1", 0), ("f.b.1", 1), ("f.c.1", 2)):
+                bn(f"{t}.{tname}", f, f"BatchNorm_{ci}")
+            for fc, ci in (("fc1", 0), ("fc2", 1)):
+                set_in(params, (*f, "SqueezeExcite_0", f"Conv_{ci}", "kernel"),
+                       _conv(sd[f"{t}.f.se.{fc}.weight"]))
+                set_in(params, (*f, "SqueezeExcite_0", f"Conv_{ci}", "bias"),
+                       sd[f"{t}.f.se.{fc}.bias"])
+            if f"{t}.proj.0.weight" in sd:
+                set_in(params, (*f, "Conv_3", "kernel"),
+                       _conv(sd[f"{t}.proj.0.weight"]))
+                bn(f"{t}.proj.1", f, "BatchNorm_3")
+            k += 1
 
 
 def apply_converted(variables_init: dict, converted: dict) -> dict:

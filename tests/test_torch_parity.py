@@ -1,12 +1,13 @@
-"""Forward parity of SemanticFPN vs a torch oracle of the reference topology.
+"""Forward parity of SemanticFPN vs torch oracles of the reference topology.
 
 torchvision is not installed in this image, so the reference model file
-cannot be imported directly; instead this test builds a pure-torch replica
-of /root/reference/src/baselines/Reichert/semanticFCN_opt.py (resnet18
-variant) with reference-identical state_dict naming, converts its weights
-with utils.torch_convert, and compares forward outputs. This validates both
-the converter mapping and the cross-framework numerics (BatchNorm/GroupNorm/
-maxpool/bilinear-resize/attention semantics) end to end.
+cannot be imported directly; instead these tests build pure-torch replicas
+of /root/reference/src/baselines/Reichert/semanticFCN_opt.py — resnet18/50,
+shufflenet_v2 and regnet_y variants — with reference-identical state_dict
+naming, convert their weights with utils.torch_convert, and compare forward
+outputs. This validates both the converter mappings and the cross-framework
+numerics (BatchNorm/GroupNorm/maxpool/bilinear-resize/attention/channel-
+shuffle/squeeze-excite semantics) end to end.
 """
 import math
 
@@ -183,6 +184,194 @@ class TorchReichertOracle(nn.Module):
         return self.decoder_semantic(fused)
 
 
+def _tv_channel_shuffle(x, groups):
+    b, c, h, w = x.shape
+    x = x.view(b, groups, c // groups, h, w)
+    return torch.transpose(x, 1, 2).contiguous().view(b, -1, h, w)
+
+
+class _TVInvertedResidual(nn.Module):
+    """torchvision shufflenetv2.InvertedResidual replica (same child names)."""
+
+    def __init__(self, inp, oup, stride):
+        super().__init__()
+        self.stride = stride
+        bf = oup // 2
+        if stride > 1:
+            self.branch1 = nn.Sequential(
+                nn.Conv2d(inp, inp, 3, stride, 1, groups=inp, bias=False),
+                nn.BatchNorm2d(inp),
+                nn.Conv2d(inp, bf, 1, bias=False),
+                nn.BatchNorm2d(bf), nn.ReLU(inplace=True))
+        else:
+            self.branch1 = nn.Sequential()
+        self.branch2 = nn.Sequential(
+            nn.Conv2d(inp if stride > 1 else bf, bf, 1, bias=False),
+            nn.BatchNorm2d(bf), nn.ReLU(inplace=True),
+            nn.Conv2d(bf, bf, 3, stride, 1, groups=bf, bias=False),
+            nn.BatchNorm2d(bf),
+            nn.Conv2d(bf, bf, 1, bias=False),
+            nn.BatchNorm2d(bf), nn.ReLU(inplace=True))
+
+    def forward(self, x):
+        if self.stride == 1:
+            x1, x2 = x.chunk(2, dim=1)
+            out = torch.cat((x1, self.branch2(x2)), dim=1)
+        else:
+            out = torch.cat((self.branch1(x), self.branch2(x)), dim=1)
+        return _tv_channel_shuffle(out, 2)
+
+
+class _TVShuffleBackbone(nn.Module):
+    """torchvision shufflenet_v2 as the reference slices it: stride-1 stem
+    conv (replaced first layer), stages 2-4, conv5 — no maxpool."""
+
+    def __init__(self, in_ch, stage_channels, conv5_ch=1024, stem=24):
+        super().__init__()
+        self.conv1 = nn.Sequential(
+            nn.Conv2d(in_ch, stem, 3, 1, 1, bias=False),
+            nn.BatchNorm2d(stem), nn.ReLU(inplace=True))
+        cin = stem
+        for name, c, n in zip(("stage2", "stage3", "stage4"),
+                              stage_channels, (4, 8, 4)):
+            blocks = [_TVInvertedResidual(cin, c, 2)]
+            blocks += [_TVInvertedResidual(c, c, 1) for _ in range(n - 1)]
+            setattr(self, name, nn.Sequential(*blocks))
+            cin = c
+        self.conv5 = nn.Sequential(
+            nn.Conv2d(cin, conv5_ch, 1, bias=False),
+            nn.BatchNorm2d(conv5_ch), nn.ReLU(inplace=True))
+
+
+class _TVSqueezeExcitation(nn.Module):
+    def __init__(self, in_ch, squeeze_ch):
+        super().__init__()
+        self.fc1 = nn.Conv2d(in_ch, squeeze_ch, 1)
+        self.fc2 = nn.Conv2d(squeeze_ch, in_ch, 1)
+
+    def forward(self, x):
+        s = F.adaptive_avg_pool2d(x, 1)
+        return x * torch.sigmoid(self.fc2(F.relu(self.fc1(s))))
+
+
+class _TVYBlock(nn.Module):
+    """torchvision regnet ResBottleneckBlock replica (same child names:
+    proj.0/.1, f.a/.b/.se/.c)."""
+
+    def __init__(self, w_in, w_out, stride, group_width):
+        super().__init__()
+        from collections import OrderedDict
+        self.proj = None
+        if w_in != w_out or stride != 1:
+            self.proj = nn.Sequential(
+                nn.Conv2d(w_in, w_out, 1, stride, bias=False),
+                nn.BatchNorm2d(w_out))
+        g = w_out // group_width
+        self.f = nn.Sequential(OrderedDict([
+            ("a", nn.Sequential(nn.Conv2d(w_in, w_out, 1, bias=False),
+                                nn.BatchNorm2d(w_out), nn.ReLU(inplace=True))),
+            ("b", nn.Sequential(
+                nn.Conv2d(w_out, w_out, 3, stride, 1, groups=g, bias=False),
+                nn.BatchNorm2d(w_out), nn.ReLU(inplace=True))),
+            ("se", _TVSqueezeExcitation(w_out, int(round(0.25 * w_in)))),
+            ("c", nn.Sequential(nn.Conv2d(w_out, w_out, 1, bias=False),
+                                nn.BatchNorm2d(w_out))),
+        ]))
+
+    def forward(self, x):
+        idt = x if self.proj is None else self.proj(x)
+        return F.relu(idt + self.f(x))
+
+
+class _TVRegNetBackbone(nn.Module):
+    """torchvision regnet_y as the reference slices it: stride-1 stem,
+    trunk_output blocks 1-4 (same 'block{s}.block{s}-{j}' naming)."""
+
+    def __init__(self, in_ch, widths, depths, group_width, stem=32):
+        super().__init__()
+        from collections import OrderedDict
+        self.stem = nn.Sequential(
+            nn.Conv2d(in_ch, stem, 3, 1, 1, bias=False),
+            nn.BatchNorm2d(stem), nn.ReLU(inplace=True))
+        cin = stem
+        stages = []
+        for s, (w, d) in enumerate(zip(widths, depths), start=1):
+            blocks = []
+            for j in range(d):
+                blocks.append((f"block{s}-{j}", _TVYBlock(
+                    cin if j == 0 else w, w, 2 if j == 0 else 1,
+                    group_width)))
+                cin = w
+            stages.append((f"block{s}", nn.Sequential(OrderedDict(blocks))))
+        self.trunk_output = nn.Sequential(OrderedDict(stages))
+
+
+class TorchReichertOracleAny(nn.Module):
+    """Reference SemanticNetworkWithFPN topology over a pluggable backbone
+    (shufflenet / regnet pyramids; semanticFCN_opt.py:238-291)."""
+
+    def __init__(self, num_classes, backbone, base, scales, meta_dim=6):
+        super().__init__()
+        self.meta_dim = meta_dim
+        self.backbone = backbone
+        self.shuffle = isinstance(backbone, _TVShuffleBackbone)
+
+        def fpn(cin, cout):
+            return nn.Sequential(nn.Conv2d(cin, cout, 3, padding=1),
+                                 nn.BatchNorm2d(cout), nn.ReLU(inplace=True))
+
+        self.fpn_block4 = fpn(base[0], base[1])
+        self.fpn_block3 = fpn(base[1], base[2])
+        self.fpn_block2 = fpn(base[2], base[3])
+        self.fpn_block1 = fpn(base[3], base[4])
+        self.attention4 = _SpatialAttention(base[1])
+        self.attention3 = _SpatialAttention(base[2])
+        self.attention2 = _SpatialAttention(base[3])
+        self.attention1 = _SpatialAttention(base[4])
+        out_chs = [base[1] // scales[0], base[2] // scales[1],
+                   base[3] // scales[2]]
+        self.upsample_layer_x4 = _UpsampleBlock(base[1], out_chs[0], scales[0])
+        self.upsample_layer_x3 = _UpsampleBlock(base[2], out_chs[1], scales[1])
+        self.upsample_layer_x2 = _UpsampleBlock(base[3], out_chs[2], scales[2])
+        cat_ch = sum(out_chs) + base[4]
+        self.decoder_semantic = nn.Sequential(
+            nn.Conv2d(cat_ch, base[4], 3, padding=1, bias=False),
+            _gn(base[4]), nn.ReLU(inplace=True),
+            nn.Conv2d(base[4], base[4], 3, padding=1, bias=False),
+            _gn(base[4]), nn.ReLU(inplace=True),
+            _UpsampleBlock(base[4], base[4] // 2, 2),
+            nn.Conv2d(base[4] // 2, num_classes, 1))
+
+    def forward(self, x, meta):
+        m1 = F.interpolate(meta, scale_factor=0.5, mode="nearest")
+        m2 = F.interpolate(meta, scale_factor=0.25, mode="nearest")
+        m3 = F.interpolate(meta, scale_factor=0.125, mode="nearest")
+        d = self.meta_dim
+        x = torch.cat([x, meta], 1)
+        bb = self.backbone
+        if self.shuffle:
+            xs = bb.conv1(x)
+            x1 = bb.stage2(xs)
+            x2 = bb.stage3(torch.cat([x1[:, :-d], m1], 1))
+            x3 = bb.stage4(torch.cat([x2[:, :-d], m2], 1))
+            x4 = bb.conv5(torch.cat([x3[:, :-d], m3], 1))
+        else:
+            xs = bb.stem(x)
+            x1 = bb.trunk_output[0](xs)
+            x2 = bb.trunk_output[1](torch.cat([x1[:, :-d], m1], 1))
+            x3 = bb.trunk_output[2](torch.cat([x2[:, :-d], m2], 1))
+            x4 = bb.trunk_output[3](torch.cat([x3[:, :-d], m3], 1))
+        x4 = self.attention4(self.fpn_block4(x4))
+        x3 = self.attention3(self.fpn_block3(x3))
+        x2 = self.attention2(self.fpn_block2(x2))
+        x1 = self.attention1(self.fpn_block1(x1))
+        x4 = self.upsample_layer_x4(x4)
+        x3 = self.upsample_layer_x3(x3)
+        x2 = self.upsample_layer_x2(x2)
+        fused = torch.cat([x1, x2, x3, x4], 1)
+        return self.decoder_semantic(fused)
+
+
 def test_forward_parity_resnet18_vs_torch_oracle():
     import jax
     import jax.numpy as jnp
@@ -322,3 +511,63 @@ def test_forward_parity_resnet50_vs_torch_oracle():
     diff = np.abs(got - want)
     assert diff.max() < 5e-3, (
         f"forward mismatch: max {diff.max():.5f} mean {diff.mean():.6f}")
+
+
+def _parity_check(oracle, backbone_name, num_classes=7, h=32, w=64,
+                  atol=5e-3):
+    import jax
+    import jax.numpy as jnp
+
+    from semanticlidarunc_tpu.models.fpn import SemanticFPN
+    from semanticlidarunc_tpu.utils.torch_convert import (
+        apply_converted, convert_reichert_state_dict)
+
+    oracle.eval()
+    for mod in oracle.modules():
+        if isinstance(mod, nn.BatchNorm2d):
+            mod.running_mean.normal_(0, 0.5)
+            mod.running_var.uniform_(0.5, 2.0)
+    sd = {k: v.detach().numpy() for k, v in oracle.state_dict().items()}
+
+    m = SemanticFPN(num_classes=num_classes, backbone=backbone_name,
+                    input_channels=2, meta_channels=6)
+    key = jax.random.PRNGKey(0)
+    rng = np.random.default_rng(0)
+    x_np = rng.standard_normal((1, h, w, 2)).astype(np.float32)
+    meta_np = rng.standard_normal((1, h, w, 6)).astype(np.float32)
+    variables = m.init({"params": key, "dropout": key}, jnp.asarray(x_np),
+                       jnp.asarray(meta_np), train=False)
+    converted = convert_reichert_state_dict(sd, backbone_name, num_classes)
+    variables, missing = apply_converted(variables, converted)
+    assert not missing, f"unconverted leaves: {missing[:8]}"
+
+    got = np.asarray(m.apply(variables, jnp.asarray(x_np),
+                             jnp.asarray(meta_np), train=False,
+                             stochastic=False))
+    with torch.no_grad():
+        want = oracle(
+            torch.from_numpy(x_np.transpose(0, 3, 1, 2)),
+            torch.from_numpy(meta_np.transpose(0, 3, 1, 2)),
+        ).permute(0, 2, 3, 1).numpy()
+    diff = np.abs(got - want)
+    assert diff.max() < atol, (
+        f"{backbone_name} forward mismatch: max {diff.max():.5f} "
+        f"mean {diff.mean():.6f}")
+
+
+def test_forward_parity_shufflenet_vs_torch_oracle():
+    torch.manual_seed(1)
+    bb = _TVShuffleBackbone(2 + 6, stage_channels=(48, 96, 192),
+                            conv5_ch=1024, stem=24)
+    oracle = TorchReichertOracleAny(
+        7, bb, base=[1024, 192, 96, 48, 24], scales=(4, 4, 2))
+    _parity_check(oracle, "shufflenet_v2_x0_5")
+
+
+def test_forward_parity_regnet_vs_torch_oracle():
+    torch.manual_seed(2)
+    bb = _TVRegNetBackbone(2 + 6, widths=(48, 104, 208, 440),
+                           depths=(1, 3, 6, 6), group_width=8, stem=32)
+    oracle = TorchReichertOracleAny(
+        7, bb, base=[440, 208, 104, 48, 32], scales=(8, 4, 2))
+    _parity_check(oracle, "regnet_y_400mf")
