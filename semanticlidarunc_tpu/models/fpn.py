@@ -129,9 +129,9 @@ class SemanticFPN(nn.Module):
             x3 = self.attention3(x3)
             x2 = self.attention2(x2)
             x1 = self.attention1(x1)
-        x4 = self.upsample_x4(x4)
-        x3 = self.upsample_x3(x3)
-        x2 = self.upsample_x2(x2)
+        x4 = self.upsample_x4(x4, use_fused=not train)
+        x3 = self.upsample_x3(x3, use_fused=not train)
+        x2 = self.upsample_x2(x2, use_fused=not train)
         return jnp.concatenate([x1, x2, x3, x4], axis=-1)
 
     def _dec1(self, y):
@@ -140,6 +140,15 @@ class SemanticFPN(nn.Module):
             window_strides=(1, 1), padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         return nn.relu(self.dec1_gn(y))
+
+    def _logits(self, y):
+        """1x1 logits head on any [..., C'] layout (full-res or phase)."""
+        k = self.logits_params["kernel"][0, 0].astype(self.dtype)
+        b = self.logits_params["bias"].astype(self.dtype)
+        out = (jnp.einsum("...c,co->...o", y, k) + b).astype(jnp.float32)
+        if self.head_activation == "elu_plus_one":
+            out = jax.nn.elu(out) + 1.0
+        return out
 
     def _head_tail_phase(self, y):
         """dec2 -> fused dec_up (phase form) -> 1x1 logits: [B,h,w,2,2,ncls].
@@ -151,21 +160,21 @@ class SemanticFPN(nn.Module):
         """
         y = self.dec2(y)
         y = self.dec_up(y, phase_form=True)       # [B, h, w, 2, 2, C']
-        k = self.logits_params["kernel"][0, 0].astype(self.dtype)
-        b = self.logits_params["bias"].astype(self.dtype)
-        out = (jnp.einsum("...c,co->...o", y, k) + b).astype(jnp.float32)
-        if self.head_activation == "elu_plus_one":
-            out = jax.nn.elu(out) + 1.0
-        return out
+        return self._logits(y)
 
-    def _head_tail(self, y):
+    def _head_tail(self, y, train: bool = False):
+        if train:
+            # resize->conv composition: faster BACKWARD (see UpsampleBlock)
+            y = self.dec2(y)
+            y = self.dec_up(y, use_fused=False)
+            return self._logits(y)
         from ..ops.upconv import depth_to_space
         return depth_to_space(self._head_tail_phase(y))
 
-    def head(self, fused, stochastic: bool = False):
+    def head(self, fused, stochastic: bool = False, train: bool = False):
         """Stochastic head: pyramid dropout + decoder -> raw logits."""
         y = self.pyr_dropout(fused, deterministic=not stochastic)
-        return self._head_tail(self._dec1(y))
+        return self._head_tail(self._dec1(y), train=train)
 
     def head_mc(self, fused, rng, n_samples: int):
         """All T MC samples in one pass: [T, B, H, W, num_classes] logits.
@@ -235,4 +244,4 @@ class SemanticFPN(nn.Module):
     def __call__(self, x, meta, train: bool = False, stochastic: bool | None = None):
         stochastic = train if stochastic is None else stochastic
         fused = self.features(x, meta, train=train)
-        return self.head(fused, stochastic=stochastic)
+        return self.head(fused, stochastic=stochastic, train=train)
