@@ -212,6 +212,44 @@ class SqueezeExcite(nn.Module):
         return x * nn.sigmoid(s)
 
 
+def _merged_group_count(width: int, groups: int, target: int = 128) -> int:
+    """Pick an effective group count (a divisor of `groups`) whose merged
+    group width is as close to `target` lanes as possible without exceeding
+    it. Width-8 groups run the 128x128 MXU at ~6% lane utilization; merging
+    16 of them into one 128-wide block-diagonal group costs 16x the MACs at
+    ~16x the utilization, and in practice wins because XLA's many-tiny-group
+    lowering is far below even the naive model (regnet_y_400mf forward
+    measured 24.4 -> see docs/baselines.md)."""
+    best, best_w = groups, width // groups
+    for g in range(1, groups + 1):
+        if groups % g:
+            continue
+        wm = width // g
+        if wm <= target and wm > best_w:
+            best, best_w = g, wm
+    return best
+
+
+def grouped_conv_merged(x, kernel, groups: int, stride: int, dtype):
+    """Grouped 3x3 conv via block-diagonal merged groups — function-
+    identical to feature_group_count=groups (the embedded positions are
+    exact zeros), but with MXU-sized per-group widths."""
+    import jax
+
+    kh, kw, gw, width = kernel.shape
+    g_eff = _merged_group_count(width, groups)
+    if g_eff != groups:
+        k = groups // g_eff
+        kr = kernel.reshape(kh, kw, gw, g_eff, k, width // groups)
+        eye = jnp.eye(k, dtype=kernel.dtype)
+        kernel = jnp.einsum("xyimjc,lj->xylimjc", kr, eye).reshape(
+            kh, kw, k * gw, width)
+    return jax.lax.conv_general_dilated(
+        x.astype(dtype), kernel.astype(dtype), (stride, stride),
+        padding=((1, 1), (1, 1)), feature_group_count=g_eff,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class YBlock(nn.Module):
     features: int
     stride: int = 1
@@ -224,20 +262,27 @@ class YBlock(nn.Module):
         in_ch = x.shape[-1]
         groups = max(1, self.features // self.group_width)
         residual = x
-        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(x)
+        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="Conv_0")(x)
         y = nn.relu(_bn(self.dtype, train)(y))
-        y = nn.Conv(self.features, (3, 3), (self.stride, self.stride),
-                    padding=((1, 1), (1, 1)), feature_group_count=groups,
-                    use_bias=False, dtype=self.dtype)(y)
+        # param layout identical to nn.Conv's grouped kernel; applied via
+        # the merged-group embedding (exact same function, MXU-friendly)
+        gk = self.param(
+            "Conv_1",
+            lambda rng: {"kernel": nn.initializers.lecun_normal()(
+                rng, (3, 3, self.features // groups, self.features))}
+        )["kernel"]
+        y = grouped_conv_merged(y, gk, groups, self.stride, self.dtype)
         y = nn.relu(_bn(self.dtype, train)(y))
         y = SqueezeExcite(max(1, int(in_ch * self.se_ratio)),
                           dtype=self.dtype)(y)
-        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(y)
+        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="Conv_2")(y)
         y = _bn(self.dtype, train)(y)
         if in_ch != self.features or self.stride != 1:
             residual = nn.Conv(self.features, (1, 1),
                                (self.stride, self.stride), use_bias=False,
-                               dtype=self.dtype)(residual)
+                               dtype=self.dtype, name="Conv_3")(residual)
             residual = _bn(self.dtype, train)(residual)
         return nn.relu(y + residual)
 
