@@ -86,6 +86,11 @@ def calibrate(cfg, model, test_loader, checkpoint: str | None):
 def main(args):
     assert args.mode in {"train", "test", "calibrate"}, \
         "Set --mode to one of 'train', 'test' or 'calibrate'"
+    if getattr(args, "platform", None):
+        # must land before any jax op; some accelerator plugins ignore the
+        # JAX_PLATFORMS env var, the config knob is always honored
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     from ..models import registry
     from ..train.tester import Tester
     from ..train.trainer import Trainer
@@ -187,6 +192,9 @@ def parse_args(argv=None):
     parser.add_argument("--resume", type=str, default=None,
                         help="Checkpoint dir to resume training from "
                              "(restores params, optimizer state, and step)")
+    parser.add_argument("--platform", type=str, default=None,
+                        help="Force a jax backend (e.g. 'cpu') — useful for "
+                             "smoke runs on accelerator hosts")
     return parser.parse_args(argv)
 
 

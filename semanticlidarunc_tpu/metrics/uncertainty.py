@@ -126,9 +126,26 @@ class UncertaintyPerClassAggregator:
                        save_path=None, bw_adjust: float = 0.9, dpi=200,
                        title="Normalized Uncertainty per Class (Ridgeline)",
                        x_label="Normalized uncertainty"):
+        """Save-to-file wrapper around `figure_ridgeline`."""
+        out = self.figure_ridgeline(class_names, color_map, ignore_ids,
+                                    bw_adjust, title, x_label)
+        if out is None:
+            return None
+        fig, ids = out
+        import matplotlib.pyplot as plt
+        if save_path:
+            fig.savefig(save_path, dpi=dpi, bbox_inches="tight")
+        plt.close(fig)
+        return ids
+
+    def figure_ridgeline(self, class_names, color_map, ignore_ids=(),
+                         bw_adjust: float = 0.9,
+                         title="Normalized Uncertainty per Class (Ridgeline)",
+                         x_label="Normalized uncertainty"):
         """Gaussian-smoothed histogram densities, stacked (the reference's
         fast ridgeline, evaluator.py:413-535: silverman-style bandwidth on
-        histogram counts with reflection padding)."""
+        histogram counts with reflection padding). Returns (fig, ids) —
+        the caller owns (embeds/saves/closes) the figure."""
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
@@ -170,10 +187,7 @@ class UncertaintyPerClassAggregator:
         axes[0].set_title(title, fontsize=16, weight="bold")
         axes[-1].set_xlabel(x_label)
         axes[-1].set_xlim(0, 1)
-        if save_path:
-            fig.savefig(save_path, dpi=dpi, bbox_inches="tight")
-        plt.close(fig)
-        return ids
+        return fig, ids
 
 
 class UncertaintyAccuracyAggregator:
@@ -207,6 +221,17 @@ class UncertaintyAccuracyAggregator:
 
     def plot(self, save_path=None, dpi=200,
              title="Accuracy vs. uncertainty"):
+        """Save-to-file wrapper around `figure`."""
+        stats, fig = self.figure(title)
+        import matplotlib.pyplot as plt
+        if save_path:
+            fig.savefig(save_path, dpi=dpi, bbox_inches="tight")
+        plt.close(fig)
+        return stats
+
+    def figure(self, title="Accuracy vs. uncertainty"):
+        """(stats, fig) for the binned accuracy-vs-uncertainty bar chart
+        (reference evaluator.py:726-749); the caller owns the figure."""
         stats = self.compute()
         import matplotlib
         matplotlib.use("Agg")
@@ -226,10 +251,7 @@ class UncertaintyAccuracyAggregator:
         ax.legend()
         ax.set_title(title)
         fig.tight_layout()
-        if save_path:
-            fig.savefig(save_path, dpi=dpi, bbox_inches="tight")
-        plt.close(fig)
-        return stats
+        return stats, fig
 
 
 def plot_iou_sorted_by_uncertainty(per_class_iou: dict, class_stats: dict,

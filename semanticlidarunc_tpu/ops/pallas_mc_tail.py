@@ -55,20 +55,27 @@ def _kernel(act_ref, a_ref, b_ref, wbig_ref, bbig_ref, gsel_ref,
     # einsum precision).
     lg = jnp.dot(y.astype(wbig_ref.dtype), wbig_ref[:],
                  preferred_element_type=jnp.float32) + bbig_ref[:]
-    # per-phase softmax WITHOUT any lane regrouping: subtract one shared
-    # row max (valid for every phase group), then take per-group sums via
-    # the 0/1 group-indicator matmul gsel [P*K, P] — the lane layout never
-    # changes, so no Mosaic relayouts appear anywhere in the body.
-    m = jnp.max(lg, axis=-1, keepdims=True)          # [R, 1]
-    e = jnp.exp(lg - m)                              # pads -> exactly 0
+    # per-phase softmax WITHOUT any lane regrouping: a TRUE per-group max
+    # (so a group whose max sits far below the row max cannot underflow —
+    # extreme calibration temperatures fold a 100-1000x spread into wl/bl),
+    # computed with lane-masked full-row reductions: each phase group q gets
+    # max(where(mask_q, lg, -inf)) broadcast back through mask_q. The lane
+    # layout never changes, so no Mosaic relayouts appear in the body.
     gsel = gsel_ref[:].astype(jnp.float32)           # [P*K, P]
+    phases = gsel.shape[1]
+    mask = gsel.T[:, None, :]                        # [P, 1, P*K] 0/1
+    m_b = jnp.zeros_like(lg)                         # per-lane group max
+    m_q = []
+    for q in range(phases):
+        mq = jnp.max(jnp.where(mask[q] > 0, lg, -jnp.inf), axis=-1,
+                     keepdims=True)                  # [R, 1]
+        m_q.append(mq)
+        m_b = m_b + mq * mask[q]
+    e = jnp.exp(lg - m_b)                            # pads -> exactly 0
     s = jnp.dot(e, gsel, preferred_element_type=jnp.float32)   # [R, P]
-    # the shared row max can sit ~88+ nats above a group's own max only for
-    # absurd logit spreads; clamp to avoid 0/0 rather than silently NaN
-    s = jnp.maximum(s, 1e-37)
     s_b = jnp.dot(s, gsel.T, preferred_element_type=jnp.float32)
     p = e / s_b
-    lse = m + jnp.log(s)                             # [R, P]
+    lse = jnp.concatenate(m_q, axis=-1) + jnp.log(s)           # [R, P]
     pl_sum = jnp.dot(p * lg, gsel, preferred_element_type=jnp.float32)
     h = lse - pl_sum                                 # [R, P]
     p_ref[0] += p

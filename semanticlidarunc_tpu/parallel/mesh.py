@@ -108,13 +108,13 @@ def shard_train_step(train_step, mesh: Mesh, spatial: bool = False):
 
 
 def shard_eval_step(eval_step, mesh: Mesh, spatial: bool = False):
-    """Wrap a (params, batch_stats, batch, rng) eval step with mesh
-    shardings: params/stats/rng replicated, batch DP(+SP)-sharded. The
-    returned per-bin statistic arrays are replicated (XLA inserts the
-    cross-chip psums for the histogram reductions)."""
+    """Wrap a (params, batch_stats, batch, rng, temperature) eval step with
+    mesh shardings: params/stats/rng/temperature replicated, batch
+    DP(+SP)-sharded. The returned per-bin statistic arrays are replicated
+    (XLA inserts the cross-chip psums for the histogram reductions)."""
     rep = replicated(mesh)
     bsh = batch_sharding(mesh, spatial)
-    return jax.jit(eval_step, in_shardings=(None, None, bsh, rep))
+    return jax.jit(eval_step, in_shardings=(None, None, bsh, rep, rep))
 
 
 def parse_mesh_spec(spec: str | None) -> tuple[int, int] | None:

@@ -25,6 +25,15 @@ import jax
 import jax.numpy as jnp
 
 
+def _temp(temperature) -> jnp.ndarray:
+    """Clamped temperature as a (possibly traced) f32 scalar.
+
+    Accepts a python float OR a traced jnp scalar — the Trainer threads the
+    post-hoc calibration temperature through the jitted eval step as a
+    traced argument so setting it after the first trace takes effect."""
+    return jnp.maximum(jnp.asarray(temperature, jnp.float32), 1e-3)
+
+
 def mc_forward(apply_fn: Callable, variables: Any, inputs: tuple,
                rng: jax.Array, n_samples: int) -> jnp.ndarray:
     """[T, ..., C] stochastic logits via vmap over dropout keys."""
@@ -73,7 +82,7 @@ def mc_split_summaries(features_fn: Callable, head_fn: Callable,
         if class_slice is not None:
             logits = logits[..., :class_slice]
         if temperature is not None:
-            logits = logits / max(1e-3, float(temperature))
+            logits = logits / _temp(temperature)
         logp = jax.nn.log_softmax(logits, axis=-1)
         p = jnp.exp(logp)
         h = -jnp.sum(p * logp, axis=-1)
@@ -137,6 +146,13 @@ def mc_fused_summaries(model, variables: Any, inputs: tuple, rng: jax.Array,
                   and getattr(model, "head_activation", "none") == "none")
     if use_pallas is None:
         use_pallas = False
+    if use_pallas and not can_pallas:
+        import warnings
+        warnings.warn(
+            "use_pallas=True requested but the model does not qualify "
+            "(needs head_mc_tail_raw and head_activation='none'; Dirichlet "
+            "elu_plus_one heads do not) — running the XLA tail instead.",
+            RuntimeWarning, stacklevel=2)
     if use_pallas and can_pallas:
         from ..ops import pallas_mc_tail as pmt
 
@@ -165,8 +181,8 @@ def mc_fused_summaries(model, variables: Any, inputs: tuple, rng: jax.Array,
         if class_slice is not None:
             wl, bl = wl[:, :class_slice], bl[:class_slice]
         if temperature is not None:
-            temp = max(1e-3, float(temperature))
-            wl, bl = wl / temp, bl / temp
+            temp = _temp(temperature)
+            wl, bl = (wl / temp).astype(wl.dtype), bl / temp
         p_sum, h_sum = pmt.mc_tail_reduce(
             act, ga, gb, wl, bl,
             interpret=(jax.default_backend() != "tpu"))
@@ -184,7 +200,7 @@ def mc_fused_summaries(model, variables: Any, inputs: tuple, rng: jax.Array,
         if class_slice is not None:
             logits = logits[..., :class_slice]
         if temperature is not None:
-            logits = logits / max(1e-3, float(temperature))
+            logits = logits / _temp(temperature)
         logp = jax.nn.log_softmax(logits, axis=-1)
         p = jnp.exp(logp)
         h = -jnp.sum(p * logp, axis=-1)
@@ -275,7 +291,7 @@ def mc_probs(mc_logits: jnp.ndarray, temperature: float | None = None,
              eps: float = 1e-12) -> jnp.ndarray:
     """[T, ..., C] logits -> probabilities (reference mc_dropout_probs)."""
     if temperature is not None:
-        mc_logits = mc_logits / max(1e-3, float(temperature))
+        mc_logits = mc_logits / _temp(temperature)
     return jax.nn.softmax(mc_logits, axis=-1)
 
 
@@ -296,7 +312,7 @@ def mc_summaries(mc_logits: jnp.ndarray, temperature: float | None = None,
     """
     c = mc_logits.shape[-1]
     logp = jax.nn.log_softmax(
-        mc_logits if temperature is None else mc_logits / max(1e-3, temperature),
+        mc_logits if temperature is None else mc_logits / _temp(temperature),
         axis=-1)
     p = jnp.exp(logp)
     p_bar = p.mean(axis=0)

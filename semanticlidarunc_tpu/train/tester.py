@@ -149,7 +149,20 @@ class Tester:
         cache = self._cache_path(epoch_name)
         ran_inference = False
         infer_ms = []
-        if not self._try_load_cache(cache, n_frames):
+        if self._try_load_cache(cache, n_frames):
+            if self.visualize:
+                # metrics come from the cache, but visualization needs live
+                # forwards — run them anyway (previously this was silently
+                # skipped on a cache hit)
+                print("[Tester] cache hit with --visualization: running "
+                      "forward passes for the panel (metrics stay cached)")
+                first = True
+                for batch in iter(loader):
+                    if first:
+                        self._load_variables(batch)
+                        first = False
+                    self._visualize_batch(batch)
+        else:
             ran_inference = True
             first = None
             for batch in iter(loader):
@@ -159,7 +172,8 @@ class Tester:
                 t.rng, eval_rng = jax.random.split(t.rng)
                 t0 = time.perf_counter()
                 out = t._eval_step(self.state.params, self.state.batch_stats,
-                                   t.place_batch(batch), eval_rng)
+                                   t.place_batch(batch), eval_rng,
+                                   t.temp_scalar())
                 out = jax.device_get(out)
                 infer_ms.append((time.perf_counter() - t0) * 1e3)
                 t.iou_evaluator.update_confmat(out["confmat"])

@@ -81,8 +81,9 @@ class Trainer:
         self.class_names = cfg["extras"].get("class_names")
         self.rng = jax.random.PRNGKey(seed)
         self.global_step = 0
-        # optional post-hoc temperature (prob.temp_scaling); captured at the
-        # first eval-step trace, so set it before the first evaluation
+        # optional post-hoc temperature (prob.temp_scaling); threaded through
+        # the jitted eval step as a TRACED scalar, so it can be set (or
+        # changed) at any time — including after the first eval trace
         self.temperature: float | None = None
         self.total_train_steps = total_train_steps or 1
         self.eq_interval = 10
@@ -315,7 +316,11 @@ class Trainer:
 
         self._gradnorm_fn = None
 
-        def eval_step(state_params, batch_stats, batch, rng):
+        def eval_step(state_params, batch_stats, batch, rng,
+                      temperature=1.0):
+            # `temperature` is a traced f32 scalar (1.0 = no scaling, exact
+            # identity); threading it defuses the jit-closure-capture trap
+            # where setting self.temperature after the first trace no-ops
             labels = batch["labels"]
             if self.use_mc_sampling:
                 # single production MC path == benched path: weight-folded
@@ -330,7 +335,7 @@ class Trainer:
                     variables["batch_stats"] = batch_stats
                 p_bar, h_norm, mi_norm = mc.mc_predictive_summaries(
                     self.model, variables, tuple(inputs), rng,
-                    self.mc_samples, temperature=self.temperature,
+                    self.mc_samples, temperature=temperature,
                     class_slice=(nc if self.loss_name == "Dirichlet"
                                  else None))
                 evalu = p_bar
@@ -350,9 +355,9 @@ class Trainer:
                     conf = jnp.max(pdl.mean_probs(alpha), axis=-1)
                     mode = "alpha"
                 else:
-                    if self.temperature is not None and \
-                            self.model_act == "logits":
-                        outputs = outputs / max(1e-3, float(self.temperature))
+                    if self.model_act == "logits":
+                        outputs = outputs / jnp.maximum(
+                            jnp.asarray(temperature, jnp.float32), 1e-3)
                     p = seg.to_probs(outputs, self.model_act)
                     evalu = p
                     h_norm = -jnp.sum(jnp.clip(p, 1e-12) *
@@ -405,6 +410,12 @@ class Trainer:
         else:
             self._eval_step = jax.jit(eval_step)
         self._terms_of_params = terms_of_params
+
+    def temp_scalar(self) -> jnp.ndarray:
+        """Current post-hoc temperature as the traced eval-step argument
+        (1.0 = exact identity when no temperature has been fitted)."""
+        return jnp.float32(1.0 if self.temperature is None
+                           else self.temperature)
 
     def place_batch(self, batch):
         """Shard a host batch onto the mesh (no-op without a mesh)."""
@@ -614,7 +625,7 @@ class Trainer:
             batch = self.place_batch(batch)
             self.rng, eval_rng = jax.random.split(self.rng)
             out = self._eval_step(state.params, state.batch_stats, batch,
-                                  eval_rng)
+                                  eval_rng, self.temp_scalar())
             acc = out if acc is None else jax.tree_util.tree_map(
                 lambda a, b: a + b, acc, out)
             n += 1
@@ -653,12 +664,14 @@ class Trainer:
             for name, v in per_class.items():
                 if name != "mIoU" and v == v:
                     self.writer.add_scalar(f"test/IoU_{name}", v, epoch)
-            self._embed_figures(epoch, stats)
+            self._embed_figures(epoch, stats, acc)
         return stats
 
-    def _embed_figures(self, epoch: int, stats: dict):
-        """Embed the eval figures in TensorBoard (reference trainer.py:
-        1240-1281 uses writer.add_figure for acc-vs-unc/ECE/ROC)."""
+    def _embed_figures(self, epoch: int, stats: dict, acc=None):
+        """Embed the eval figure set in TensorBoard — a superset of the
+        reference's per-eval-epoch embeds (trainer.py:1240-1281: acc-vs-unc,
+        ECE, ROC), plus ROC-MI, entropy-error IoU and the per-class ridgeline
+        the reference only writes as Tester PNGs."""
         try:
             import matplotlib.pyplot as plt
         except ImportError:
@@ -671,6 +684,21 @@ class Trainer:
             figs["entropy_error_iou"] = pdl.plot_entropy_error_iou(
                 stats["entropy_error_iou"],
                 np.asarray(self.ee_thresholds))
+        if acc is not None and "ua" in acc:
+            from ..metrics import uncertainty as unc_m
+            ua = unc_m.UncertaintyAccuracyAggregator()
+            ua.update_stats(*acc["ua"])
+            _, figs["acc_vs_uncertainty"] = ua.figure()
+            if self.class_names:
+                pc = unc_m.UncertaintyPerClassAggregator(
+                    num_classes=self.num_classes)
+                pc.update_stats(acc["class_unc"])
+                out = pc.figure_ridgeline(
+                    self.class_names,
+                    self.cfg["extras"].get("class_colors", {}),
+                    ignore_ids=(self.ignore_index,))
+                if out is not None:
+                    figs["uncertainty_ridgeline"] = out[0]
         for name, fig in figs.items():
             if fig is not None:
                 self.writer.add_figure(f"test/{name}", fig, epoch)

@@ -18,6 +18,18 @@ import jax  # noqa: E402
 # config knob is honored, so set it too (before any backend initialization).
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite's wall-clock is dominated by XLA
+# compiles of the parity/mesh jits; caching them across runs cuts repeat runs
+# from ~27 min toward the actual compute time. (CPU-backend caching must be
+# enabled explicitly; 0-second thresholds cache everything.)
+_cache_dir = os.environ.get("SLU_JAX_CACHE",
+                            "/tmp/slu_jax_compilation_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_enable_xla_caches",
+                  "all")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -29,6 +29,31 @@ def test_kernel_matches_oracle(t, bsz, n, cin, k):
     np.testing.assert_allclose(hs, hr, atol=1e-5)
 
 
+def test_kernel_extreme_spread_per_group_max():
+    """A phase group whose own max sits ~200 nats below the row max (the
+    small-calibration-temperature regime: T folds into wl/bl and multiplies
+    logit spreads 100-1000x) must still produce normalized probabilities and
+    finite entropies — the per-group max makes this exact, where a shared
+    row max would underflow exp to all-zeros for that group."""
+    t, bsz, n, cin, k = 2, 1, 64, 16, 5
+    pc = 4 * cin
+    rng = np.random.default_rng(7)
+    act = jnp.asarray(rng.standard_normal((t, bsz, n, pc)), jnp.float32)
+    # phase 0 gets a huge affine scale: its logits dwarf every other group's
+    a = jnp.ones((t, bsz, pc), jnp.float32).at[:, :, :cin].mul(300.0)
+    b = jnp.zeros((t, bsz, pc), jnp.float32)
+    wl = jnp.asarray(rng.standard_normal((cin, k)), jnp.float32)
+    bl = jnp.zeros((k,), jnp.float32)
+    ps, hs = pmt.mc_tail_reduce(act, a, b, wl, bl, interpret=True)
+    pr, hr = pmt.mc_tail_reduce_reference(act, a, b, wl, bl)
+    # every phase group's probabilities sum to t (T samples of a simplex)
+    group_sums = np.asarray(ps).reshape(bsz, n, 4, k).sum(-1)
+    np.testing.assert_allclose(group_sums, t, rtol=1e-5)
+    assert np.isfinite(np.asarray(hs)).all()
+    np.testing.assert_allclose(ps, pr, atol=1e-5)
+    np.testing.assert_allclose(hs, hr, atol=1e-4)
+
+
 def test_pallas_summaries_match_xla_path():
     """mc_fused_summaries(use_pallas=True) == (use_pallas=False) bit-near,
     including temperature scaling and the Dirichlet class_slice."""

@@ -135,13 +135,14 @@ def test_sharded_eval_step_matches_single_device_and_masks_ragged():
     rng = jax.random.PRNGKey(7)
 
     out1 = jax.device_get(tr._eval_step(state.params, state.batch_stats,
-                                        batch, rng))
+                                        batch, rng, tr.temp_scalar()))
 
     mesh = pm.make_mesh(8, data=8, model=1)
     tr2 = Trainer(model, cfg, mesh=mesh)
     state2 = tr2.create_state(batch, num_epochs=1, steps_per_epoch=1)
     out2 = jax.device_get(tr2._eval_step(
-        state2.params, state2.batch_stats, tr2.place_batch(batch), rng))
+        state2.params, state2.batch_stats, tr2.place_batch(batch), rng,
+        tr2.temp_scalar()))
 
     # pad pixels land only in the ignore-GT row, which compute() zeroes per
     # reference semantics (evaluator.py:29-105); all other rows are exact

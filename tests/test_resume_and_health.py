@@ -111,3 +111,29 @@ def test_qkv_attention_variant():
     out = m.apply(vs, x, meta, train=False)
     assert out.shape == (1, 16, 32, 4)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_temperature_set_after_first_eval_trace_takes_effect():
+    """The post-hoc calibration temperature is a TRACED eval-step argument:
+    setting trainer.temperature after the first eval step must change the
+    confidence statistics (previously it was silently trace-captured)."""
+    cfg = _cfg("CE")
+    ds = SyntheticDataset(n_scans=2, projection=(32, 64), n_beams=32,
+                          n_azimuth=64)
+    loader = DataLoader(ds, batch_size=2)
+    model = registry.build_model(cfg)
+    tr = Trainer(model, cfg)
+    batch = next(iter(loader))
+    state = tr.create_state(batch, num_epochs=1, steps_per_epoch=1)
+    rng = jax.random.PRNGKey(0)
+    out1 = jax.device_get(tr._eval_step(state.params, state.batch_stats,
+                                        batch, rng, tr.temp_scalar()))
+    tr.temperature = 10.0      # AFTER the first trace
+    out2 = jax.device_get(tr._eval_step(state.params, state.batch_stats,
+                                        batch, rng, tr.temp_scalar()))
+    # T=10 flattens probabilities -> mean confidence must drop
+    conf1 = np.asarray(out1["ece"][1]).sum() / np.asarray(out1["ece"][0]).sum()
+    conf2 = np.asarray(out2["ece"][1]).sum() / np.asarray(out2["ece"][0]).sum()
+    assert conf2 < conf1 - 1e-3
+    # predictions are temperature-invariant
+    np.testing.assert_array_equal(out1["confmat"], out2["confmat"])
