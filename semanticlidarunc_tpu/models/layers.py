@@ -165,8 +165,18 @@ def _groupnorm_affine(y_phase: jnp.ndarray, groups: int, scale: jnp.ndarray,
     b = y_phase.shape[0]
     c = y_phase.shape[-1]
     yg = y_phase.astype(jnp.float32).reshape(b, -1, groups, c // groups)
+    n = yg.shape[1] * yg.shape[3]
+    # single-pass moments (mean + mean-of-squares in ONE fusion over the
+    # source — the centered two-pass form reads the tensor twice, ~0.4 ms
+    # per MC-20 scan at bench scale); same formulation as flax GroupNorm
     mean = yg.mean(axis=(1, 3))                           # [B, G]
-    var = ((yg - mean[:, None, :, None]) ** 2).mean(axis=(1, 3))
+    mean2 = jnp.sum(jnp.square(yg), axis=(1, 3)) / n
+    var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+    return _gn_stats_to_affine(mean, var, groups, c, scale, bias, eps)
+
+
+def _gn_stats_to_affine(mean, var, groups, c, scale, bias, eps=1e-6):
+    """Per-(B, group) stats -> per-(B, channel) affine (a, b)."""
     inv = jax.lax.rsqrt(var + eps)                        # [B, G]
     inv_c = jnp.repeat(inv, c // groups, axis=1)          # [B, C]
     mean_c = jnp.repeat(mean, c // groups, axis=1)

@@ -71,16 +71,16 @@ def _conv(x, k):
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
-def upsample_conv_phase(x: jnp.ndarray, kernel: jnp.ndarray,
-                        scale: int) -> jnp.ndarray:
-    """conv3x3(bilinear_up_s(x)) in PHASE FORM: [B,h,w,s,s,Cout].
+def upsample_conv_phase_noborder(x: jnp.ndarray, kernel: jnp.ndarray,
+                                 scale: int) -> jnp.ndarray:
+    """Phase-form fused upsample+conv WITHOUT the border correction: the
+    outermost full-res output row/col on each side behaves as if the border
+    were edge-replicated (instead of the reference's zero padding). Interior
+    values are exact; `upsample_conv_phase` pairs this with `border_strips`
+    for exactness.
 
-    Phase form holds out_full[b, s*i+dr, s*j+dc, c] at [b, i, j, dr, dc, c];
-    use `depth_to_space` to lay it out at full resolution. Per-pixel ops
-    (1x1 convs, normalizations with phase folded into the reduction axes,
-    softmax over channels) can run directly on phase form, skipping the
-    full-resolution round-trip entirely.
-    """
+    Degenerate grids (h<2 or w<2) fall back to exact resize+conv (the
+    caller sees border_strips() return None for them)."""
     b, h, w, cin = x.shape
     s = scale
     cout = kernel.shape[-1]
@@ -95,8 +95,24 @@ def upsample_conv_phase(x: jnp.ndarray, kernel: jnp.ndarray,
     kf = fold_kernel(kernel, s).reshape(3, 3, cin, s * s * cout)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
     y = _conv(xp.astype(x.dtype), kf.astype(x.dtype))
-    y = y.reshape(b, h, w, s, s, cout)
-    return _border_fix(y, x, kernel, s)
+    return y.reshape(b, h, w, s, s, cout)
+
+
+def upsample_conv_phase(x: jnp.ndarray, kernel: jnp.ndarray,
+                        scale: int) -> jnp.ndarray:
+    """conv3x3(bilinear_up_s(x)) in PHASE FORM: [B,h,w,s,s,Cout].
+
+    Phase form holds out_full[b, s*i+dr, s*j+dc, c] at [b, i, j, dr, dc, c];
+    use `depth_to_space` to lay it out at full resolution. Per-pixel ops
+    (1x1 convs, normalizations with phase folded into the reduction axes,
+    softmax over channels) can run directly on phase form, skipping the
+    full-resolution round-trip entirely.
+    """
+    b, h, w, cin = x.shape
+    y = upsample_conv_phase_noborder(x, kernel, scale)
+    if h < 2 or w < 2:
+        return y
+    return _border_fix(y, x, kernel, scale)
 
 
 def upsample_conv(x: jnp.ndarray, kernel: jnp.ndarray,
@@ -131,28 +147,28 @@ def _upsample1d(x: jnp.ndarray, scale: int, axis: int, out_len: int,
     return out[tuple(idx)]
 
 
-def _border_fix(y_phase: jnp.ndarray, x: jnp.ndarray, kernel: jnp.ndarray,
-                s: int) -> jnp.ndarray:
-    """Patch the 4 one-pixel output frames where conv zero-padding at the
-    UPSAMPLED border differs from the fused form's implicit replication.
+def border_strips(x: jnp.ndarray, kernel: jnp.ndarray, s: int):
+    """TRUE zero-pad border values of conv3x3(upsample_s(x)) as 4 full-res
+    strips: (row0, rowl [B,s,ws,C], col0, coll [B,hs,s,C]).
 
-    Assembled with axis-aligned concatenations (first/last i-slab along
-    axis 1, then first/last j-slab along axis 2) rather than scattered
-    `.at[].set` updates: a multi-axis scatter into the [B,h,w,s,s,C] tensor
-    measured +4 ms at the MC-20 bench scale, while two concats fold into the
-    consumer's layout for ~0.1 ms.
+    The row strips cover full-res rows [0,s) / [hs-s,hs) across ALL
+    columns; the col strips cover cols [0,s) / [ws-s,ws) across ALL rows —
+    corner values appear in both and are identical (doubly-zero-padded).
+    Returns None for degenerate grids (h<2 or w<2, where
+    upsample_conv_phase_noborder already fell back to the exact path).
     """
     b, h, w, cin = x.shape
+    if h < 2 or w < 2:
+        return None
     ws, hs = w * s, h * s
-    cout = y_phase.shape[-1]
     k = kernel.astype(x.dtype)
     dn = ("NHWC", "HWIO", "NHWC")
 
-    # -- top / bottom i-slabs: all s phases of output rows [0, s) and
+    # -- top / bottom strips: all s phases of output rows [0, s) and
     # [hs-s, hs), i.e. true `up` rows [-1, s] and [hs-s-1, hs] with the
     # out-of-range rows zero (conv padding) --------------------------------
     def row_strip(rows_x, lo_pad: bool):
-        # `up` rows touching the slab: s+2 rows; build from the 2 boundary
+        # `up` rows touching the strip: s+2 rows; build from the 2 boundary
         # input rows (every needed up row depends on at most those two)
         st = _upsample1d(rows_x, s, 1, 2 * s,
                          slice(0, s + 1) if lo_pad else
@@ -168,14 +184,8 @@ def _border_fix(y_phase: jnp.ndarray, x: jnp.ndarray, kernel: jnp.ndarray,
         top, k, (1, 1), padding=((0, 0), (1, 1)), dimension_numbers=dn)
     rowl = jax.lax.conv_general_dilated(
         bot, k, (1, 1), padding=((0, 0), (1, 1)), dimension_numbers=dn)
-    # [B, s, ws, C] -> phase slab [B, 1, w, s(dr), s(dc), C]
-    def to_slab_i(r):
-        return r.reshape(b, s, w, s, cout).transpose(0, 2, 1, 3, 4)[:, None]
 
-    y_phase = jnp.concatenate(
-        [to_slab_i(row0), y_phase[:, 1:-1], to_slab_i(rowl)], axis=1)
-
-    # -- left / right j-slabs (over ALL hs rows, so corners come out with
+    # -- left / right strips (over ALL hs rows, so corners come out with
     # the true doubly-zero-padded values) ----------------------------------
     def col_strip(cols_x, lo_pad: bool):
         st = _upsample1d(cols_x, s, 2, 2 * s,
@@ -191,6 +201,34 @@ def _border_fix(y_phase: jnp.ndarray, x: jnp.ndarray, kernel: jnp.ndarray,
         left, k, (1, 1), padding=((1, 1), (0, 0)), dimension_numbers=dn)
     coll = jax.lax.conv_general_dilated(
         right, k, (1, 1), padding=((1, 1), (0, 0)), dimension_numbers=dn)
+    return row0, rowl, col0, coll
+
+
+def _border_fix(y_phase: jnp.ndarray, x: jnp.ndarray, kernel: jnp.ndarray,
+                s: int) -> jnp.ndarray:
+    """Patch the 4 one-pixel output frames where conv zero-padding at the
+    UPSAMPLED border differs from the fused form's implicit replication.
+
+    Assembled with axis-aligned concatenations (first/last i-slab along
+    axis 1, then first/last j-slab along axis 2) rather than scattered
+    `.at[].set` updates: a multi-axis scatter into the [B,h,w,s,s,C] tensor
+    measured +4 ms at the MC-20 bench scale, while two concats fold into the
+    consumer's layout for ~0.1 ms. (Carrying the strips separately through
+    the MC reduction and pasting once per scan was also tried — the ~25
+    extra small ops per sample measured FAR worse, 41.5 -> 17.4 scans/s
+    e2e; per-op overhead beats the two concats. Do not retry.)
+    """
+    b, h, w, cin = x.shape
+    cout = y_phase.shape[-1]
+    row0, rowl, col0, coll = border_strips(x, kernel, s)
+
+    # [B, s, ws, C] -> phase slab [B, 1, w, s(dr), s(dc), C]
+    def to_slab_i(r):
+        return r.reshape(b, s, w, s, cout).transpose(0, 2, 1, 3, 4)[:, None]
+
+    y_phase = jnp.concatenate(
+        [to_slab_i(row0), y_phase[:, 1:-1], to_slab_i(rowl)], axis=1)
+
     # [B, hs, s, C] -> phase slab [B, h, 1, s(dr), s(dc), C]
     def to_slab_j(r):
         return r.reshape(b, h, s, s, cout)[:, :, None]

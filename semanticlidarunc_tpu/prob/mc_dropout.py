@@ -25,6 +25,16 @@ import jax
 import jax.numpy as jnp
 
 
+def _constrain(x, sharding):
+    """Apply a GSPMD sharding constraint (None = no-op). Used to shard the
+    MC SAMPLE axis over the mesh's data axis inside the jitted eval step —
+    the third parallelism axis (parallel/mesh.py:shard_mc_summaries), now
+    reachable from the product eval path for small-batch MC evaluation."""
+    if sharding is None:
+        return x
+    return jax.lax.with_sharding_constraint(x, sharding)
+
+
 def _temp(temperature) -> jnp.ndarray:
     """Clamped temperature as a (possibly traced) f32 scalar.
 

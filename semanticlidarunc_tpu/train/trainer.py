@@ -308,10 +308,15 @@ class Trainer:
         else:
             self._train_step = jax.jit(train_step, donate_argnums=(0,))
 
-        # grad-norm measurement for the balancer (Dirichlet / SalsaNext logs)
-        def terms_of_params(params, batch_stats, batch):
+        # grad-norm measurement for the balancer (Dirichlet / SalsaNext
+        # logs). Measured on the LIVE training graph — BN batch statistics +
+        # the step's own dropout draw — matching the reference, which reuses
+        # the training forward's graph for the per-term backwards
+        # (/root/reference/src/utils/grad_norm.py:155-167); batch-stat
+        # updates from this probe forward are discarded.
+        def terms_of_params(params, batch_stats, batch, rng):
             outputs, _ = self._forward(params, batch_stats, batch,
-                                       train=False)
+                                       train=True, rng=rng)
             return self._loss_terms(outputs, batch["labels"])
 
         self._gradnorm_fn = None
@@ -477,15 +482,17 @@ class Trainer:
         if self.loss_name in ("Dirichlet", "SalsaNext"):
             ref_mask = bal.default_ref_mask(variables["params"])
             self._gradnorm_fn = jax.jit(bal.per_term_grad_norms(
-                lambda p, bs, b: self._terms_of_params(p, bs, b), ref_mask))
+                lambda p, bs, b, r: self._terms_of_params(p, bs, b, r),
+                ref_mask))
         return state
 
     # ------------------------------------------------------------------
     # Dirichlet weight scheduling (reference trainer.py:604-765)
     # ------------------------------------------------------------------
-    def _update_dirichlet_weights(self, state, batch):
+    def _update_dirichlet_weights(self, state, batch, rng):
+        """Grad-norm measurement + balancer update (eq cadence only)."""
         vals, norms = self._gradnorm_fn(state.params, state.batch_stats,
-                                        batch)
+                                        batch, rng)
         vals = {k: float(v) for k, v in vals.items()}
         norms = {k: float(v) for k, v in norms.items()}
         self._last_raw_g = norms
@@ -497,7 +504,15 @@ class Trainer:
                                    {k: norms[k] for k in balanced},
                                    self.global_step)
             new_w.update(w)
+        self.current_weights = new_w
 
+    def _schedule_dirichlet_weights(self):
+        """comp/wle/kl cosine ramps + share caps, recomputed EVERY step from
+        the cached grad norms — the reference evaluates these schedules per
+        batch while only measuring grads at the eq cadence
+        (trainer.py:643-758 outside the do_eq guard)."""
+        norms = self._last_raw_g
+        new_w = dict(self.current_weights)
         g_ref = norms.get(self.reference_loss_term, 0.0)
         w_ref = new_w.get(self.reference_loss_term, 1.0)
         step, total = self.global_step, self.total_train_steps
@@ -551,17 +566,23 @@ class Trainer:
         n_steps = 0
         dev_loss = None
         dev_confmat = None
+        step_losses = []   # device scalars; fetched ONCE at epoch end
         t0 = time.perf_counter()
         for batch in loader:
             batch = self.place_batch(batch)
-            if self.loss_name == "Dirichlet" and self._gradnorm_fn is not None \
-                    and self.global_step % self.eq_interval == 0:
-                self._update_dirichlet_weights(state, batch)
             self.rng, step_rng = jax.random.split(self.rng)
+            if self.loss_name == "Dirichlet" and self._gradnorm_fn is not None:
+                if self.global_step % self.eq_interval == 0:
+                    # grads measured with the step's own dropout draw on the
+                    # train-mode graph (reference reuses the training
+                    # forward's graph, trainer.py:604-619)
+                    self._update_dirichlet_weights(state, batch, step_rng)
+                self._schedule_dirichlet_weights()
             state, metrics = self._train_step(state, batch,
                                               self._weights_vec(), step_rng)
             dev_loss = metrics["loss"] if dev_loss is None \
                 else dev_loss + metrics["loss"]
+            step_losses.append(metrics["loss"])
             dev_confmat = metrics["confmat"] if dev_confmat is None \
                 else dev_confmat + metrics["confmat"]
             if self.writer and self.global_step % 20 == 0:
@@ -597,6 +618,8 @@ class Trainer:
             n_steps += 1
         if dev_confmat is not None:
             self.iou_evaluator.update_confmat(dev_confmat)
+        # per-step losses for diagnostics / the train-parity harness
+        self.last_step_losses = [float(v) for v in step_losses]
         total_loss = float(dev_loss) if dev_loss is not None else 0.0
         miou, per_class = self.iou_evaluator.compute(
             class_names=self.class_names, test_mask=self.test_mask,

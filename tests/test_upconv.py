@@ -82,3 +82,18 @@ def test_upsample_block_unchanged_and_phase_equivalent():
     ph = new.apply(v_old, x, phase_form=True)
     np.testing.assert_allclose(upconv.depth_to_space(ph), out_old,
                                atol=2e-5, rtol=1e-5)
+
+
+def test_border_strips_match_reference_frame():
+    """border_strips return the TRUE zero-pad border values of
+    conv3x3(upsample(x)) — the exactness contract _border_fix builds on."""
+    rng = np.random.default_rng(5)
+    s, h, w = 2, 8, 16
+    x = jnp.asarray(rng.standard_normal((2, h, w, 5)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 5, 4)), jnp.float32) * 0.3
+    ref = _reference(x, k, s)
+    row0, rowl, col0, coll = upconv.border_strips(x, k, s)
+    np.testing.assert_allclose(row0, ref[:, :s], atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(rowl, ref[:, -s:], atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(col0, ref[:, :, :s], atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(coll, ref[:, :, -s:], atol=2e-5, rtol=1e-5)
