@@ -107,13 +107,22 @@ def shard_train_step(train_step, mesh: Mesh, spatial: bool = False):
     )
 
 
-def shard_eval_step(eval_step, mesh: Mesh, spatial: bool = False):
+def shard_eval_step(eval_step, mesh: Mesh, spatial: bool = False,
+                    batch_replicated: bool = False):
     """Wrap a (params, batch_stats, batch, rng, temperature) eval step with
     mesh shardings: params/stats/rng/temperature replicated, batch
     DP(+SP)-sharded. The returned per-bin statistic arrays are replicated
-    (XLA inserts the cross-chip psums for the histogram reductions)."""
+    (XLA inserts the cross-chip psums for the histogram reductions).
+
+    `batch_replicated=True` replicates the batch instead — used by the
+    MC-sample-sharded eval step, where the parallel axis is the T dropout
+    samples (constrained inside the step) rather than the batch."""
     rep = replicated(mesh)
-    bsh = batch_sharding(mesh, spatial)
+    if batch_replicated:
+        bsh = {k: rep for k in ("range", "reflectivity", "xyz", "normals",
+                                "labels")}
+    else:
+        bsh = batch_sharding(mesh, spatial)
     return jax.jit(eval_step, in_shardings=(None, None, bsh, rep, rep))
 
 

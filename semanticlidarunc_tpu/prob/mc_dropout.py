@@ -73,7 +73,8 @@ def mc_forward_split(features_fn: Callable, head_fn: Callable, variables: Any,
 def mc_split_summaries(features_fn: Callable, head_fn: Callable,
                        variables: Any, inputs: tuple, rng: jax.Array,
                        n_samples: int, temperature: float | None = None,
-                       class_slice: int | None = None, eps: float = 1e-12):
+                       class_slice: int | None = None, eps: float = 1e-12,
+                       sample_sharding=None):
     """Trunk-once MC with scan-accumulated summaries: (p_bar, H_norm, MI_norm).
 
     Mathematically identical to `mc_forward_split` + `mc_summaries`, but the
@@ -82,9 +83,24 @@ def mc_split_summaries(features_fn: Callable, head_fn: Callable,
     ~GBs of HBM traffic at large T (measured ~7% end-to-end on the bench).
     `class_slice` optionally drops trailing channels (the Dirichlet scale
     head) before the summaries.
+
+    With `sample_sharding` (a NamedSharding over the mesh data axis) the
+    scan is replaced by a vmap over the sharded sample axis so each device
+    runs T/n_data heads — same per-key dropout streams, identical math.
     """
     fused = features_fn(variables, *inputs, train=False)
     keys = jax.random.split(rng, n_samples)
+    if sample_sharding is not None:
+        keys = _constrain(keys, sample_sharding)
+
+        def one(key):
+            logits = head_fn(variables, fused, rngs={"dropout": key})
+            if class_slice is not None:
+                logits = logits[..., :class_slice]
+            return logits
+
+        logits = _constrain(jax.vmap(one)(keys), sample_sharding)
+        return mc_summaries(logits, temperature=temperature, eps=eps)
 
     def body(carry, key):
         p_sum, h_sum = carry
@@ -118,7 +134,8 @@ def mc_fused_summaries(model, variables: Any, inputs: tuple, rng: jax.Array,
                        n_samples: int, temperature: float | None = None,
                        class_slice: int | None = None, eps: float = 1e-12,
                        use_pallas: bool | None = None,
-                       samples_per_step: int = 1):
+                       samples_per_step: int = 1,
+                       sample_sharding=None):
     """(p_bar, H_norm, MI_norm) via the model's weight-folded MC head.
 
     For models exposing `head_mc_pre`/`head_post` (the FPN family, any batch
@@ -149,6 +166,7 @@ def mc_fused_summaries(model, variables: Any, inputs: tuple, rng: jax.Array,
                         method=model.features)
     y1 = model.apply(variables, fused, rng, n_samples,
                      method=model.head_mc_pre)        # [T, B, H, W, C_dec]
+    y1 = _constrain(y1, sample_sharding)
     post = getattr(model, "head_post_phase", None) or model.head_post
     t, b = y1.shape[0], y1.shape[1]
 
@@ -201,7 +219,11 @@ def mc_fused_summaries(model, variables: Any, inputs: tuple, rng: jax.Array,
         h_sum = h_sum.reshape(b, h, w, s, s2)
         return _mc_epilogue(p_sum, h_sum, n_samples, eps)
 
-    k = _chunk_size(n_samples, samples_per_step)
+    # sample-sharded: run the tail fully batched over T so the per-sample
+    # work partitions across the mesh's data axis instead of serializing
+    # in a scan (each device processes T/n_data samples)
+    k = t if sample_sharding is not None \
+        else _chunk_size(n_samples, samples_per_step)
 
     def summarize(y_chunk):                     # [k, B, h, w, C_dec]
         logits = model.apply(
@@ -262,7 +284,8 @@ def _chunk_size(t: int, target: int = 20) -> int:
 def mc_predictive_summaries(model, variables: Any, inputs: tuple,
                             rng: jax.Array, n_samples: int,
                             temperature: float | None = None,
-                            class_slice: int | None = None):
+                            class_slice: int | None = None,
+                            sample_sharding=None):
     """(p_bar, H_norm, MI_norm) through the FASTEST path the model supports.
 
     This is the single production entry point for MC-dropout summaries —
@@ -274,11 +297,17 @@ def mc_predictive_summaries(model, variables: Any, inputs: tuple,
     2. trunk-once / scan-over-head (`features`/`head`) — any trunk/head model;
     3. full vmapped stochastic forward — everything else (SalsaNext, CENet,
        FIDNet), still fused with the summary reductions in one jit.
-    """
+
+    `sample_sharding` (NamedSharding over a mesh's data axis) shards the
+    SAMPLE axis across devices — the right parallelism for small-batch MC
+    eval on a mesh, where padding a bs=1 batch over the data axis would
+    leave most devices computing masked zeros (reference MC loop:
+    /root/reference/src/models/trainer.py:1138-1152)."""
     if hasattr(model, "head_mc_pre") and hasattr(model, "head_post"):
         return mc_fused_summaries(model, variables, inputs, rng, n_samples,
                                   temperature=temperature,
-                                  class_slice=class_slice)
+                                  class_slice=class_slice,
+                                  sample_sharding=sample_sharding)
     if hasattr(model, "features") and hasattr(model, "head"):
         return mc_split_summaries(
             lambda v, *i, **kw: model.apply(v, *i, method=model.features,
@@ -286,12 +315,17 @@ def mc_predictive_summaries(model, variables: Any, inputs: tuple,
             lambda v, f, **kw: model.apply(v, f, method=model.head,
                                            stochastic=True, **kw),
             variables, inputs, rng, n_samples, temperature=temperature,
-            class_slice=class_slice)
-    logits = mc_forward(
-        lambda v, *i, **kw: model.apply(v, *i, **kw),
-        variables, inputs, rng, n_samples)
-    if isinstance(logits, (list, tuple)):   # aux-head models (CENet)
-        logits = logits[0]
+            class_slice=class_slice, sample_sharding=sample_sharding)
+    keys = jax.random.split(rng, n_samples)
+    if sample_sharding is not None:
+        keys = _constrain(keys, sample_sharding)
+
+    def one(key):
+        out = model.apply(variables, *inputs, train=False, stochastic=True,
+                          rngs={"dropout": key})
+        return out[0] if isinstance(out, (list, tuple)) else out
+
+    logits = _constrain(jax.vmap(one)(keys), sample_sharding)
     if class_slice is not None:
         logits = logits[..., :class_slice]
     return mc_summaries(logits, temperature=temperature)

