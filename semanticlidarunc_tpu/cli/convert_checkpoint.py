@@ -61,7 +61,9 @@ def parse_args(argv=None):
                             "shufflenet_v2_x0_5", "shufflenet_v2_x1_0",
                             "shufflenet_v2_x1_5", "shufflenet_v2_x2_0",
                             "regnet_y_400mf", "regnet_y_800mf",
-                            "regnet_y_1_6gf", "regnet_y_3_2gf"])
+                            "regnet_y_1_6gf", "regnet_y_3_2gf",
+                            "efficientnet_v2_s", "efficientnet_v2_m",
+                            "efficientnet_v2_l", "squeezenet1_0"])
     p.add_argument("--num_classes", type=int, required=True)
     p.add_argument("--input_channels", type=int, default=2)
     p.add_argument("--meta_channels", type=int, default=6)

@@ -200,14 +200,17 @@ class ShuffleNetV2Backbone(nn.Module):
 # ---------------------------------------------------------------------------
 
 class SqueezeExcite(nn.Module):
+    """Squeeze-excitation; `act` matches torchvision's per-family internal
+    activation (relu for regnet_y, silu for efficientnet_v2)."""
     se_channels: int
     dtype: Dtype = jnp.float32
+    act: str = "relu"
 
     @nn.compact
     def __call__(self, x):
         s = x.mean(axis=(1, 2), keepdims=True)
         s = nn.Conv(self.se_channels, (1, 1), dtype=self.dtype)(s)
-        s = nn.relu(s)
+        s = nn.relu(s) if self.act == "relu" else nn.silu(s)
         s = nn.Conv(x.shape[-1], (1, 1), dtype=self.dtype)(s)
         return x * nn.sigmoid(s)
 
@@ -233,20 +236,45 @@ def _merged_group_count(width: int, groups: int, target: int = 128) -> int:
 def grouped_conv_merged(x, kernel, groups: int, stride: int, dtype):
     """Grouped 3x3 conv via block-diagonal merged groups — function-
     identical to feature_group_count=groups (the embedded positions are
-    exact zeros), but with MXU-sized per-group widths."""
+    exact zeros), but with MXU-sized per-group widths.
+
+    When no divisor of `groups` reaches the target lane width, the group
+    axis is PADDED with inert zero groups (zero kernel rows and zero input
+    channels, output slice dropped) so ⌈groups/k⌉ blocks of k groups hit
+    ~128 lanes anyway — regnet_y_3_2gf's 63-group stage-4 conv merges
+    21x72-wide by divisors but 13x120-wide padded (measured on v5e, see
+    docs/baselines.md)."""
     import jax
 
     kh, kw, gw, width = kernel.shape
-    g_eff = _merged_group_count(width, groups)
-    if g_eff != groups:
-        k = groups // g_eff
-        kr = kernel.reshape(kh, kw, gw, g_eff, k, width // groups)
+    opg = width // groups
+    g_div = _merged_group_count(width, groups)
+    k_pad = max(1, 128 // gw)
+    if k_pad > 1 and groups % k_pad and k_pad * gw > width // g_div:
+        g_eff = -(-groups // k_pad)
+        gpad = g_eff * k_pad - groups
+        kr = jnp.pad(kernel.reshape(kh, kw, gw, groups, opg),
+                     ((0, 0), (0, 0), (0, 0), (0, gpad), (0, 0)))
+        kr = kr.reshape(kh, kw, gw, g_eff, k_pad, opg)
+        eye = jnp.eye(k_pad, dtype=kernel.dtype)
+        kmerged = jnp.einsum("xyimjc,lj->xylimjc", kr, eye).reshape(
+            kh, kw, k_pad * gw, g_eff * k_pad * opg)
+        xp = jnp.pad(x.astype(dtype),
+                     ((0, 0), (0, 0), (0, 0), (0, gpad * gw)))
+        out = jax.lax.conv_general_dilated(
+            xp, kmerged.astype(dtype), (stride, stride),
+            padding=((1, 1), (1, 1)), feature_group_count=g_eff,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return out[..., :width]
+    if g_div != groups:
+        k = groups // g_div
+        kr = kernel.reshape(kh, kw, gw, g_div, k, opg)
         eye = jnp.eye(k, dtype=kernel.dtype)
         kernel = jnp.einsum("xyimjc,lj->xylimjc", kr, eye).reshape(
             kh, kw, k * gw, width)
     return jax.lax.conv_general_dilated(
         x.astype(dtype), kernel.astype(dtype), (stride, stride),
-        padding=((1, 1), (1, 1)), feature_group_count=g_eff,
+        padding=((1, 1), (1, 1)), feature_group_count=g_div,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
@@ -355,7 +383,7 @@ class MBConv(nn.Module):
                     use_bias=False, dtype=self.dtype)(y)
         y = nn.silu(_bn(self.dtype, train)(y))
         y = SqueezeExcite(max(1, int(in_ch * self.se_ratio)),
-                          dtype=self.dtype)(y)
+                          dtype=self.dtype, act="silu")(y)
         y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(y)
         y = _bn(self.dtype, train)(y)
         if self.stride == 1 and in_ch == self.features:
@@ -424,8 +452,13 @@ class SqueezeNetBackbone(nn.Module):
     @nn.compact
     def __call__(self, x, metas=None, train: bool = False):
         d = self.dtype
-        x = nn.relu(nn.Conv(96, (3, 3), dtype=d)(x))
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        # torchvision's maxpools are MaxPool2d(3, 2, ceil_mode=True): no
+        # leading pad, implicit trailing pad — ((0,1),(0,1)), not symmetric
+        pool = dict(strides=(2, 2), padding=((0, 1), (0, 1)))
+        # reference replaces the stem conv with a bias-free 3x3
+        # (semanticFCN_opt.py:205-212)
+        x = nn.relu(nn.Conv(96, (3, 3), use_bias=False, dtype=d)(x))
+        x = nn.max_pool(x, (3, 3), **pool)
         x = Fire(16, 64, d)(x)                      # 128
         feats = [x]
         x = Fire(16, 64, d)(x)
@@ -433,7 +466,7 @@ class SqueezeNetBackbone(nn.Module):
         feats.append(x)
         if metas is not None:
             x = _inject_meta(x, metas[0], self.meta_dim)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        x = nn.max_pool(x, (3, 3), **pool)
         x = Fire(32, 128, d)(x)                     # 256
         feats.append(x)
         if metas is not None:
@@ -442,7 +475,7 @@ class SqueezeNetBackbone(nn.Module):
         x = Fire(48, 192, d)(x)                     # 384
         feats.append(x)
         x = Fire(64, 256, d)(x)                     # 512
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        x = nn.max_pool(x, (3, 3), **pool)
         x = Fire(64, 256, d)(x)
         feats.append(x)
         return feats

@@ -5,9 +5,10 @@ Enables users of the reference to carry their trained weights over:
 `convert_reichert_state_dict` maps a torch `state_dict` of
 /root/reference/src/baselines/Reichert/semanticFCN_opt.py onto a
 `SemanticFPN` variables pytree, for the resnet{18,34,50},
-shufflenet_v2_x{0_5,1_0,1_5,2_0} and regnet_y_{400mf,800mf,1_6gf,3_2gf}
-backbone families (the full set the reference publishes mIoU numbers for,
-Images/plot_inference_time.py:5-9). Forward parity of converted models vs
+shufflenet_v2_x{0_5,1_0,1_5,2_0}, regnet_y_{400mf,800mf,1_6gf,3_2gf},
+efficientnet_v2_{s,m,l} and squeezenet1_0 backbone families — the FULL set
+the reference model accepts (semanticFCN_opt.py:130-183), so any trained
+reference checkpoint carries over. Forward parity of converted models vs
 torch oracles with reference-identical state_dict naming is verified in
 tests/test_torch_parity.py.
 
@@ -62,6 +63,10 @@ def convert_reichert_state_dict(state_dict: dict, backbone: str,
         _shufflenet_trunk(sd, set_in, params, bn)
     elif backbone.startswith("regnet"):
         _regnet_trunk(sd, set_in, params, bn, backbone)
+    elif backbone.startswith("efficientnet"):
+        _efficientnet_trunk(sd, set_in, params, bn, backbone)
+    elif backbone.startswith("squeezenet"):
+        _squeezenet_trunk(sd, set_in, params)
     else:
         _resnet_trunk(sd, set_in, params, bn, backbone)
 
@@ -193,6 +198,66 @@ def _regnet_trunk(sd, set_in, params, bn, backbone):
                        _conv(sd[f"{t}.proj.0.weight"]))
                 bn(f"{t}.proj.1", f, "BatchNorm_3")
             k += 1
+
+
+def _efficientnet_trunk(sd, set_in, params, bn, backbone):
+    """torchvision efficientnet_v2 sliced as the reference does: stem =
+    features[0] (3x3 conv replaced stride-1), layers 1-3 = features[2..4]
+    (features[1] and [5:] are never executed in the multi-scale-meta path;
+    semanticFCN_opt.py:239-246, 396-404). Flax naming: FusedMBConv_k for the
+    two fused stages, MBConv_j for the SE stage; torchvision block layout:
+    block.0 = expand ConvNormAct, block.1 = (fused: project | mb: depthwise),
+    block.2 = SE (mb only), block.3 = project (mb only)."""
+    from ..models.backbones import BACKBONE_SPECS
+
+    set_in(params, ("trunk", "Conv_0", "kernel"),
+           _conv(sd["backbone.features.0.0.weight"]))
+    bn("backbone.features.0.1", ("trunk",), "BatchNorm_0")
+    sizes = BACKBONE_SPECS[backbone]["stage_sizes"]
+    k = 0
+    for stage_idx, n in zip((2, 3), sizes[:2]):
+        for j in range(n):
+            t = f"backbone.features.{stage_idx}.{j}.block"
+            f = ("trunk", f"FusedMBConv_{k}")
+            set_in(params, (*f, "Conv_0", "kernel"),
+                   _conv(sd[f"{t}.0.0.weight"]))
+            bn(f"{t}.0.1", f, "BatchNorm_0")
+            set_in(params, (*f, "Conv_1", "kernel"),
+                   _conv(sd[f"{t}.1.0.weight"]))
+            bn(f"{t}.1.1", f, "BatchNorm_1")
+            k += 1
+    for j in range(sizes[2]):
+        t = f"backbone.features.4.{j}.block"
+        f = ("trunk", f"MBConv_{j}")
+        set_in(params, (*f, "Conv_0", "kernel"), _conv(sd[f"{t}.0.0.weight"]))
+        bn(f"{t}.0.1", f, "BatchNorm_0")
+        set_in(params, (*f, "Conv_1", "kernel"), _conv(sd[f"{t}.1.0.weight"]))
+        bn(f"{t}.1.1", f, "BatchNorm_1")
+        for fc, ci in (("fc1", 0), ("fc2", 1)):
+            set_in(params, (*f, "SqueezeExcite_0", f"Conv_{ci}", "kernel"),
+                   _conv(sd[f"{t}.2.{fc}.weight"]))
+            set_in(params, (*f, "SqueezeExcite_0", f"Conv_{ci}", "bias"),
+                   sd[f"{t}.2.{fc}.bias"])
+        set_in(params, (*f, "Conv_2", "kernel"), _conv(sd[f"{t}.3.0.weight"]))
+        bn(f"{t}.3.1", f, "BatchNorm_2")
+
+
+def _squeezenet_trunk(sd, set_in, params):
+    """torchvision squeezenet1_0 sliced as the reference does (stem =
+    features[0:4] with a bias-free replaced 3x3 conv, fires at features
+    indices 3,4,5,7,8,9,10,12; semanticFCN_opt.py:205-215). No BatchNorm
+    anywhere; every Fire conv carries a bias."""
+    set_in(params, ("trunk", "Conv_0", "kernel"),
+           _conv(sd["backbone.features.0.weight"]))
+    for k, idx in enumerate((3, 4, 5, 7, 8, 9, 10, 12)):
+        t = f"backbone.features.{idx}"
+        f = ("trunk", f"Fire_{k}")
+        for tname, ci in (("squeeze", 0), ("expand1x1", 1),
+                          ("expand3x3", 2)):
+            set_in(params, (*f, f"Conv_{ci}", "kernel"),
+                   _conv(sd[f"{t}.{tname}.weight"]))
+            set_in(params, (*f, f"Conv_{ci}", "bias"),
+                   sd[f"{t}.{tname}.bias"])
 
 
 def apply_converted(variables_init: dict, converted: dict) -> dict:

@@ -306,15 +306,137 @@ class _TVRegNetBackbone(nn.Module):
         self.trunk_output = nn.Sequential(OrderedDict(stages))
 
 
+class _TVFusedMBConv(nn.Module):
+    """torchvision FusedMBConv replica (expand_ratio=4; same 'block.N.M'
+    child naming, stochastic depth = identity at eval)."""
+
+    def __init__(self, cin, cout, stride):
+        super().__init__()
+        mid = cin * 4
+        self.use_res = stride == 1 and cin == cout
+        self.block = nn.Sequential(
+            nn.Sequential(nn.Conv2d(cin, mid, 3, stride, 1, bias=False),
+                          nn.BatchNorm2d(mid), nn.SiLU(inplace=True)),
+            nn.Sequential(nn.Conv2d(mid, cout, 1, bias=False),
+                          nn.BatchNorm2d(cout)))
+
+    def forward(self, x):
+        y = self.block(x)
+        return x + y if self.use_res else y
+
+
+class _TVSiLUSqueezeExcitation(nn.Module):
+    """torchvision SqueezeExcitation as EfficientNet instantiates it
+    (internal activation SiLU, scale activation sigmoid)."""
+
+    def __init__(self, in_ch, squeeze_ch):
+        super().__init__()
+        self.fc1 = nn.Conv2d(in_ch, squeeze_ch, 1)
+        self.fc2 = nn.Conv2d(squeeze_ch, in_ch, 1)
+
+    def forward(self, x):
+        s = F.adaptive_avg_pool2d(x, 1)
+        return x * torch.sigmoid(self.fc2(F.silu(self.fc1(s))))
+
+
+class _TVMBConv(nn.Module):
+    """torchvision MBConv replica (expand_ratio=4, SE squeeze = cin // 4)."""
+
+    def __init__(self, cin, cout, stride):
+        super().__init__()
+        mid = cin * 4
+        self.use_res = stride == 1 and cin == cout
+        self.block = nn.Sequential(
+            nn.Sequential(nn.Conv2d(cin, mid, 1, bias=False),
+                          nn.BatchNorm2d(mid), nn.SiLU(inplace=True)),
+            nn.Sequential(
+                nn.Conv2d(mid, mid, 3, stride, 1, groups=mid, bias=False),
+                nn.BatchNorm2d(mid), nn.SiLU(inplace=True)),
+            _TVSiLUSqueezeExcitation(mid, max(1, cin // 4)),
+            nn.Sequential(nn.Conv2d(mid, cout, 1, bias=False),
+                          nn.BatchNorm2d(cout)))
+
+    def forward(self, x):
+        y = self.block(x)
+        return x + y if self.use_res else y
+
+
+class _TVEffNetBackbone(nn.Module):
+    """torchvision efficientnet_v2 as the reference slices it: features[0]
+    stem (3x3 conv replaced stride-1), features[2..4] used as layers 1-3;
+    features[1] exists in checkpoints but is never executed (placeholder
+    Identity here) — semanticFCN_opt.py:239-246."""
+
+    def __init__(self, in_ch, stage_channels, stage_sizes, stem=24):
+        super().__init__()
+        from collections import OrderedDict
+        feats = OrderedDict()
+        feats["0"] = nn.Sequential(
+            nn.Conv2d(in_ch, stem, 3, 1, 1, bias=False),
+            nn.BatchNorm2d(stem), nn.SiLU(inplace=True))
+        feats["1"] = nn.Identity()
+        cin = stem
+        kinds = (_TVFusedMBConv, _TVFusedMBConv, _TVMBConv)
+        for idx, ch, n, blk in zip(("2", "3", "4"), stage_channels,
+                                   stage_sizes, kinds):
+            blocks = [blk(cin, ch, 2)]
+            blocks += [blk(ch, ch, 1) for _ in range(n - 1)]
+            feats[idx] = nn.Sequential(*blocks)
+            cin = ch
+        self.features = nn.Sequential(feats)
+
+
+class _TVFire(nn.Module):
+    def __init__(self, cin, squeeze, expand):
+        super().__init__()
+        self.squeeze = nn.Conv2d(cin, squeeze, 1)
+        self.expand1x1 = nn.Conv2d(squeeze, expand, 1)
+        self.expand3x3 = nn.Conv2d(squeeze, expand, 3, padding=1)
+
+    def forward(self, x):
+        s = F.relu(self.squeeze(x))
+        return torch.cat([F.relu(self.expand1x1(s)),
+                          F.relu(self.expand3x3(s))], 1)
+
+
+class _TVSqueezeBackbone(nn.Module):
+    """torchvision squeezenet1_0 features with the reference's replaced
+    bias-free stride-1 stem conv; maxpools are ceil_mode=True
+    (semanticFCN_opt.py:205-215)."""
+
+    def __init__(self, in_ch):
+        super().__init__()
+        from collections import OrderedDict
+        self.features = nn.Sequential(OrderedDict([
+            ("0", nn.Conv2d(in_ch, 96, 3, 1, 1, bias=False)),
+            ("1", nn.ReLU(inplace=True)),
+            ("2", nn.MaxPool2d(3, 2, ceil_mode=True)),
+            ("3", _TVFire(96, 16, 64)),
+            ("4", _TVFire(128, 16, 64)),
+            ("5", _TVFire(128, 32, 128)),
+            ("6", nn.MaxPool2d(3, 2, ceil_mode=True)),
+            ("7", _TVFire(256, 32, 128)),
+            ("8", _TVFire(256, 48, 192)),
+            ("9", _TVFire(384, 48, 192)),
+            ("10", _TVFire(384, 64, 256)),
+            ("11", nn.MaxPool2d(3, 2, ceil_mode=True)),
+            ("12", _TVFire(512, 64, 256)),
+        ]))
+
+
 class TorchReichertOracleAny(nn.Module):
     """Reference SemanticNetworkWithFPN topology over a pluggable backbone
-    (shufflenet / regnet pyramids; semanticFCN_opt.py:238-291)."""
+    (shufflenet / regnet / efficientnet / squeezenet pyramids;
+    semanticFCN_opt.py:238-291, 387-404)."""
 
-    def __init__(self, num_classes, backbone, base, scales, meta_dim=6):
+    def __init__(self, num_classes, backbone, base, scales, meta_dim=6,
+                 mode=None):
         super().__init__()
         self.meta_dim = meta_dim
         self.backbone = backbone
-        self.shuffle = isinstance(backbone, _TVShuffleBackbone)
+        self.mode = mode or ("shuffle" if isinstance(
+            backbone, _TVShuffleBackbone) else "regnet")
+        self.shuffle = self.mode == "shuffle"
 
         def fpn(cin, cout):
             return nn.Sequential(nn.Conv2d(cin, cout, 3, padding=1),
@@ -349,12 +471,28 @@ class TorchReichertOracleAny(nn.Module):
         d = self.meta_dim
         x = torch.cat([x, meta], 1)
         bb = self.backbone
-        if self.shuffle:
+        if self.mode == "shuffle":
             xs = bb.conv1(x)
             x1 = bb.stage2(xs)
             x2 = bb.stage3(torch.cat([x1[:, :-d], m1], 1))
             x3 = bb.stage4(torch.cat([x2[:, :-d], m2], 1))
             x4 = bb.conv5(torch.cat([x3[:, :-d], m3], 1))
+        elif self.mode == "effnet":
+            # semanticFCN_opt.py:396-404 — x4 = meta-reinjected x3
+            f = bb.features
+            xs = f[0](x)
+            x1 = f[2](xs)
+            x2 = f[3](torch.cat([x1[:, :-d], m1], 1))
+            x3 = f[4](torch.cat([x2[:, :-d], m2], 1))
+            x4 = torch.cat([x3[:, :-d], m3], 1)
+        elif self.mode == "squeeze":
+            # semanticFCN_opt.py:387-395 — meta before layers 2-3 only
+            f = bb.features
+            xs = f[3](f[2](F.relu(f[0](x))))
+            x1 = f[5](f[4](xs))
+            x2 = f[7](f[6](torch.cat([x1[:, :-d], m1], 1)))
+            x3 = f[9](f[8](torch.cat([x2[:, :-d], m2], 1)))
+            x4 = f[12](f[11](f[10](x3)))
         else:
             xs = bb.stem(x)
             x1 = bb.trunk_output[0](xs)
@@ -571,3 +709,21 @@ def test_forward_parity_regnet_vs_torch_oracle():
     oracle = TorchReichertOracleAny(
         7, bb, base=[440, 208, 104, 48, 32], scales=(8, 4, 2))
     _parity_check(oracle, "regnet_y_400mf")
+
+
+def test_forward_parity_efficientnet_v2_s_vs_torch_oracle():
+    torch.manual_seed(3)
+    bb = _TVEffNetBackbone(2 + 6, stage_channels=(48, 64, 128),
+                           stage_sizes=(4, 4, 6), stem=24)
+    oracle = TorchReichertOracleAny(
+        7, bb, base=[128, 128, 64, 48, 168], scales=(4, 4, 2), mode="effnet")
+    _parity_check(oracle, "efficientnet_v2_s")
+
+
+def test_forward_parity_squeezenet_vs_torch_oracle():
+    torch.manual_seed(4)
+    bb = _TVSqueezeBackbone(2 + 6)
+    oracle = TorchReichertOracleAny(
+        7, bb, base=[512, 384, 256, 256, 112], scales=(4, 2, 2),
+        mode="squeeze")
+    _parity_check(oracle, "squeezenet1_0")
