@@ -43,6 +43,9 @@ Prints exactly one JSON line.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -50,13 +53,26 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: fresh XLA compiles through this
+# environment's remote-compile tunnel cost minutes; caching makes repeat
+# bench runs (and the driver's end-of-round run) near-instant to warm up.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("SLU_JAX_CACHE",
+                                 "/tmp/slu_jax_compilation_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+_T0 = time.monotonic()
 MC_SAMPLES = 20
 H, W = 64, 2048
 N_POINTS = 1 << 17                      # 131072 = KITTI-scale point count
+TRAIN_BS = 8                            # reference KITTI 64x2048 batch size
 REFERENCE_GPU_SCANS_PER_SEC = 2.29
 H100_FACTOR = 2.5                       # assumed H100 speedup over that GPU
 BASELINE_SCANS_PER_SEC = REFERENCE_GPU_SCANS_PER_SEC * H100_FACTOR
 N_ITERS = 50
+# total wall budget (s) before we skip the optional train-step metric so the
+# primary metric always prints inside the driver's timeout
+BUDGET_S = float(os.environ.get("SLU_BENCH_BUDGET_S", "520"))
 
 
 def _timed_slope(chained_fn, n_iters: int) -> float:
@@ -139,6 +155,23 @@ def main():
     per_scan_full = _timed_slope(chained_full, N_ITERS)
     per_scan_model = _timed_slope(chained_model, N_ITERS)
 
+    # -- optional: bs8 train-step throughput (VERDICT r2 #6), run in a
+    # subprocess with the REMAINING time budget so a slow compile can never
+    # cost us the primary metric --
+    train_scans = None
+    remaining = BUDGET_S - (time.monotonic() - _T0) - 20.0
+    if remaining > 60.0:
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--train-step"],
+                capture_output=True, text=True, timeout=remaining,
+                env=os.environ)
+            for line in out.stdout.splitlines():
+                if line.startswith("{"):
+                    train_scans = json.loads(line).get("train_scans_per_sec")
+        except (subprocess.TimeoutExpired, Exception):
+            train_scans = None
+
     scans_per_sec = 1.0 / per_scan_full
     print(json.dumps({
         "metric": "kitti_mc20_e2e_scans_per_sec",
@@ -146,6 +179,7 @@ def main():
         "unit": "scans/s/chip",
         "vs_baseline": round(scans_per_sec / BASELINE_SCANS_PER_SEC, 3),
         "model_only_scans_per_sec": round(1.0 / per_scan_model, 3),
+        "train_bs8_scans_per_sec": train_scans,
         "vs_reference_gpu": round(
             scans_per_sec / REFERENCE_GPU_SCANS_PER_SEC, 3),
         "baseline_note": ("baseline = reference-GPU 2.29 scans/s (forward "
@@ -155,5 +189,67 @@ def main():
     }))
 
 
+def train_step_bench():
+    """bs8 resnet50 bf16 CE+Lovász train-step scans/s (chained-slope inside
+    one jit, same methodology as the inference metrics). Run as a
+    subprocess of main() so its compile time can never eat the primary
+    metric's budget. Reference train protocol: trainer.py:455-787."""
+    from semanticlidarunc_tpu.dataset.pipeline import (DataLoader,
+                                                       SyntheticDataset)
+    from semanticlidarunc_tpu.models import registry
+    from semanticlidarunc_tpu.train.trainer import Trainer
+    from semanticlidarunc_tpu.utils import config as cfg_util
+
+    cfg = cfg_util.with_extras({
+        "dataset_name": "SemanticKitti",
+        "model_settings": {
+            "baseline": "Reichert", "model_type": "resnet50",
+            "loss_function": "CE", "attention": True,
+            "multi_scale_meta": True, "normals": True, "reflectivity": True,
+            "projection": [H, W],
+        },
+        "train_params": {"learning_rate": 1e-3, "learning_rate_min": 1e-5,
+                         "batch_size": TRAIN_BS, "num_epochs": 1,
+                         "weight_decay": 1e-4, "num_warmup_epochs": 0},
+    })
+    model = registry.build_model(cfg, dtype=jnp.bfloat16)
+    ds = SyntheticDataset(n_scans=TRAIN_BS, projection=(H, W), n_beams=64,
+                          n_azimuth=2048)
+    loader = DataLoader(ds, batch_size=TRAIN_BS, shuffle=False)
+    tr = Trainer(model, cfg)
+    batch = tr.place_batch(next(iter(loader)))
+    state = tr.create_state(batch, num_epochs=1, steps_per_epoch=1)
+    wv = tr._weights_vec()
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def chained(n):
+        def body(i, st):
+            st2, _ = tr._train_step(st, batch, wv,
+                                    jax.random.fold_in(key, i))
+            return st2
+        st = jax.lax.fori_loop(0, n, body, state)
+        # reduce over params so NOTHING in the chain is dead code
+        return jax.tree_util.tree_reduce(
+            lambda a, l: a + l.sum().astype(jnp.float32), st.params,
+            jnp.float32(0.0))
+
+    def timed(n):
+        t0 = time.perf_counter()
+        float(chained(jnp.asarray(n)))
+        return time.perf_counter() - t0
+
+    timed(1)
+    t1 = min(timed(1) for _ in range(2))
+    tn = min(timed(11) for _ in range(2))
+    per_step = (tn - t1) / 10
+    print(json.dumps(
+        {"train_scans_per_sec": round(TRAIN_BS / per_step, 3),
+         "train_step_ms": round(per_step * 1e3, 3)}))
+
+
 if __name__ == "__main__":
-    main()
+    if "--train-step" in sys.argv:
+        train_step_bench()
+    else:
+        main()

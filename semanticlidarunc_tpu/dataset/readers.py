@@ -35,8 +35,12 @@ def _resize_nearest(img: np.ndarray, out_wh: tuple[int, int]) -> np.ndarray:
 
 
 def _build_normals(xyz: np.ndarray) -> np.ndarray:
-    """cv2 Scharr normals when available (bit-matches reference), else the
-    numpy golden twin."""
+    """Scharr normals: native C++ kernel when buildable (GIL-releasing, the
+    thread-pool loader's hot path — semanticlidarunc_tpu/native), else cv2
+    (bit-matches reference), else the numpy golden twin."""
+    from .. import native
+    if native.available():
+        return native.scharr_normals(xyz)
     try:
         import cv2
         nf = 0.25
@@ -125,9 +129,15 @@ class ProjectedDataset:
         if self.rotate:
             angle = float(self._rng.integers(-180, 180))
             xyzil[:, 0:3] = rotate_z_np(xyzil[:, 0:3], angle)
-        img, _, _, _ = spherical_projection_np(
-            xyzil, self.projection[0], self.projection[1],
-            theta_range=self.theta_range)
+        from .. import native
+        if native.available():
+            img = native.spherical_projection(
+                xyzil, self.projection[0], self.projection[1],
+                theta_range=self.theta_range)
+        else:
+            img, _, _, _ = spherical_projection_np(
+                xyzil, self.projection[0], self.projection[1],
+                theta_range=self.theta_range)
         if self.drop_empty_rows:
             img = img[~np.all(np.linalg.norm(img, axis=-1) == 0, axis=1)]
         if self.resize:
