@@ -58,7 +58,7 @@ import jax.numpy as jnp
 # bench runs (and the driver's end-of-round run) near-instant to warm up.
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("SLU_JAX_CACHE",
-                                 "/tmp/slu_jax_compilation_cache"))
+                                 "/root/repo/.jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 _T0 = time.monotonic()

@@ -23,7 +23,7 @@ jax.config.update("jax_platforms", "cpu")
 # from ~27 min toward the actual compute time. (CPU-backend caching must be
 # enabled explicitly; 0-second thresholds cache everything.)
 _cache_dir = os.environ.get("SLU_JAX_CACHE",
-                            "/tmp/slu_jax_compilation_cache")
+                            "/root/repo/.jax_cache")
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

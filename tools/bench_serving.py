@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("SLU_JAX_CACHE",
-                                 "/tmp/slu_jax_compilation_cache"))
+                                 "/root/repo/.jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 MC_SAMPLES = 20
