@@ -13,19 +13,24 @@ compute (BASELINE.json "projection + forward"):
        fused p_bar / entropy / mutual-information reductions
     -> argmax + back-projection to per-point labels
 
-The MC path used here is `mc_predictive_summaries` — the SAME dispatcher the
-Trainer/Tester eval step runs in production, so the benched path is the
-shipped path. A secondary model-only number (pre-projected tensors in, no
-projection/back-projection) is reported for comparison with the reference's
-forward-only protocol.
+The MC path used here is the production inference surface: on TPU with a
+qualifying model this is `inference.make_mc_scan_segmenter`'s SPLIT
+pipeline (trunk executable + fused Pallas-tail executable, dispatched back
+to back — see that function's docstring for why the split exists); other
+configurations run `mc_predictive_summaries`, the same dispatcher the
+Trainer/Tester eval step uses. A secondary model-only number
+(pre-projected tensors in, no projection/back-projection) is reported for
+comparison with the reference's forward-only protocol.
 
 Timing methodology: this environment reaches the TPU through an RPC tunnel
 where `block_until_ready` does NOT wait for device execution and a host fetch
-costs ~30 ms. We therefore chain N dependent iterations inside one compiled
-fori_loop (each iteration's input depends on the previous output, so nothing
-can be elided or overlapped) and fetch a single scalar at the end; per-scan
-time is the slope between a 1-iteration and an N+1-iteration run, which
-cancels the constant RPC cost.
+costs ~30 ms. We therefore chain N dependent iterations — inside one compiled
+fori_loop for single-executable paths, or as a Python loop of back-to-back
+dispatches for the split pipeline (each iteration's input depends on the
+previous output either way, so nothing can be elided or overlapped, and the
+split's per-dispatch overhead is included) — and fetch a single scalar at
+the end; per-scan time is the slope between a 1-iteration and an
+N+1-iteration run, which cancels the constant RPC cost.
 
 Baseline derivation (see BASELINE.md): the reference's resnet50 forward is
 43.7 ms at bs=1 on 128x2048 input (Images/plot_inference_time.py:7) on an
@@ -151,6 +156,56 @@ def main():
             return xx + dep.astype(xx.dtype), acc + preds.sum()
         _, acc = jax.lax.fori_loop(0, n, body, (x0, jnp.int32(0)))
         return acc
+
+    # -- split Pallas-tail pipeline (the production inference path on TPU:
+    # inference.make_mc_scan_segmenter) — two executables dispatched back
+    # to back per scan. Chained at the Python level with a strict serial
+    # dependency (next scan's points depend on this scan's uncertainty
+    # outputs), so per-iteration dispatch overhead is INCLUDED and nothing
+    # overlaps; the final scalar fetch syncs everything.
+    use_split = (jax.default_backend() == "tpu"
+                 and mc.can_pallas_tail(model, H, W))
+    if use_split:
+        run_mc = inference.make_mc_scan_segmenter(
+            model, variables, cfg, H, W, n_samples=MC_SAMPLES)
+
+        @jax.jit
+        def _absorb(pts, labels, h_n, mi_n):
+            dep = (h_n.sum() + mi_n.sum()) * 1e-12
+            return pts + dep.astype(pts.dtype), labels.sum()
+
+        def chained_full(n):
+            pts, acc = points, jnp.int32(0)
+            for i in range(int(n)):
+                labels, seg, h_n, mi_n = run_mc(
+                    pts, valid, jax.random.fold_in(key, i))
+                pts, s = _absorb(pts, labels, h_n, mi_n)
+                acc = acc + s
+            return acc
+
+        @jax.jit
+        def stage_model_trunk(xx, i):
+            fused = model.apply(variables, xx, meta0, train=False,
+                                method=model.features)
+            return model.apply(variables, fused,
+                               jax.random.fold_in(key, i), MC_SAMPLES,
+                               method=model.head_mc_pre)
+
+        @jax.jit
+        def stage_model_tail(xx, y1):
+            p_bar, h_norm, mi_norm = mc.mc_pallas_tail_summaries(
+                model, variables, y1, MC_SAMPLES)
+            preds = jnp.argmax(p_bar, -1)
+            dep = (h_norm[..., None] + mi_norm[..., None]) * 1e-9
+            return xx + dep.astype(xx.dtype), preds.sum()
+
+        def chained_model(n):
+            xx, acc = x0, jnp.int32(0)
+            for i in range(int(n)):
+                y1 = stage_model_trunk(xx, i)
+                xx, s = stage_model_tail(xx, y1)
+                acc = acc + s
+            return acc
 
     per_scan_full = _timed_slope(chained_full, N_ITERS)
     per_scan_model = _timed_slope(chained_model, N_ITERS)

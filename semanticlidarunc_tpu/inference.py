@@ -78,21 +78,60 @@ def make_scan_segmenter(model, variables, cfg: dict, height: int, width: int,
 
 
 def make_mc_scan_segmenter(model, variables, cfg: dict, height: int,
-                           width: int, n_samples: int = 20, theta_range=None):
-    """jitted: (points, valid, rng) ->
-    (point_labels, seg [H,W], h_norm [H,W], mi_norm [H,W])."""
+                           width: int, n_samples: int = 20, theta_range=None,
+                           use_pallas_tail: bool | None = None):
+    """jit-backed callable: (points, valid, rng) ->
+    (point_labels, seg [H,W], h_norm [H,W], mi_norm [H,W]).
+
+    On TPU, models supporting the fused Pallas tail run as a SPLIT pipeline
+    of two executables — (projection -> trunk -> folded-dropout dec1) and
+    (Pallas tail -> argmax -> back-projection) — dispatched back to back
+    with no host synchronization in between. The split exists because a
+    Mosaic custom call embedded in the large trunk program stalls ~25 ms
+    per iteration in this runtime (prob/mc_dropout.mc_pallas_tail_summaries
+    docstring); as its own executable the Pallas tail measures 7.0 ms vs
+    9.6 ms for the XLA tail (v5e, resnet50, T=20, 64x2048).
+    """
     is_dirichlet = cfg["model_settings"].get("loss_function") == "Dirichlet"
     nc = (getattr(model, "num_classes", 0) - 1) if is_dirichlet else None
     temperature = cfg.get("extras", {}).get("temperature")
+    if use_pallas_tail is None:
+        use_pallas_tail = (jax.default_backend() == "tpu"
+                           and mc.can_pallas_tail(model, height, width))
+
+    if not use_pallas_tail:
+        @jax.jit
+        def run(points, valid, rng):
+            inputs, flat = preprocess_scan(points, valid, height, width,
+                                           cfg, theta_range)
+            p_bar, h_norm, mi_norm = mc.mc_predictive_summaries(
+                model, variables, tuple(inputs), rng, n_samples,
+                temperature=temperature, class_slice=nc)
+            seg = jnp.argmax(p_bar[0], axis=-1).astype(jnp.int32)
+            return back_project(seg, flat), seg, h_norm[0], mi_norm[0]
+
+        return run
 
     @jax.jit
-    def run(points, valid, rng):
+    def stage_trunk(points, valid, rng):
         inputs, flat = preprocess_scan(points, valid, height, width, cfg,
                                        theta_range)
-        p_bar, h_norm, mi_norm = mc.mc_predictive_summaries(
-            model, variables, tuple(inputs), rng, n_samples,
-            temperature=temperature, class_slice=nc)
+        fused = model.apply(variables, *inputs, train=False,
+                            method=model.features)
+        y1 = model.apply(variables, fused, rng, n_samples,
+                         method=model.head_mc_pre)
+        return y1, flat
+
+    @jax.jit
+    def stage_tail(y1, flat):
+        p_bar, h_norm, mi_norm = mc.mc_pallas_tail_summaries(
+            model, variables, y1, n_samples, temperature=temperature,
+            class_slice=nc)
         seg = jnp.argmax(p_bar[0], axis=-1).astype(jnp.int32)
         return back_project(seg, flat), seg, h_norm[0], mi_norm[0]
+
+    def run(points, valid, rng):
+        y1, flat = stage_trunk(points, valid, rng)
+        return stage_tail(y1, flat)
 
     return run

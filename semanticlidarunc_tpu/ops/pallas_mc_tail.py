@@ -89,15 +89,15 @@ def _pick_rows(n: int, target: int = 2048) -> int:
     return n
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "rows"))
 def mc_tail_reduce(act: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
                    wl: jnp.ndarray, bl: jnp.ndarray,
-                   interpret: bool = False):
+                   interpret: bool = False, rows: int | None = None):
     """(p_sum [B,N,P*K], h_sum [B,N,P]) accumulated over the T axis."""
     t, bsz, n, pc = act.shape
     cin, k = wl.shape
     phases = pc // cin
-    rows = _pick_rows(n)
+    rows = _pick_rows(n) if rows is None else rows
     grid = (bsz, n // rows, t)
 
     # block-diagonal logits weights: [P*C, P*K], phase q's block = wl;
@@ -135,6 +135,8 @@ def mc_tail_reduce(act: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
             jax.ShapeDtypeStruct((bsz, n, phases * k), jnp.float32),
             jax.ShapeDtypeStruct((bsz, n, phases), jnp.float32),
         ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(act, a.astype(jnp.float32), b.astype(jnp.float32),
       wbig.astype(act.dtype), bbig.astype(jnp.float32), gsel)

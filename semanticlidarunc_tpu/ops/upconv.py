@@ -131,6 +131,29 @@ def _upsample1d(x: jnp.ndarray, scale: int, axis: int, out_len: int,
                 take: slice) -> jnp.ndarray:
     """Exact half-pixel bilinear upsample along one axis (clamped edges)."""
     n = x.shape[axis]
+    if scale == 2 and out_len == 2 * n:
+        # static-slice fast path (TPU gathers are slow): out[2i] =
+        # 0.25*x[i-1] + 0.75*x[i], out[2i+1] = 0.75*x[i] + 0.25*x[i+1],
+        # edges clamped — same multiplier order and exactly-representable
+        # weights as the gather form below (interior bit-identical; clamped
+        # edge rows agree to 1 ulp: 0.25a+0.75a vs a*1+b*0).
+        def shift(lo: bool):
+            idx = [slice(None)] * x.ndim
+            idx[axis] = slice(None, -1) if lo else slice(1, None)
+            edge = [slice(None)] * x.ndim
+            edge[axis] = slice(None, 1) if lo else slice(-1, None)
+            parts = ([x[tuple(edge)], x[tuple(idx)]] if lo
+                     else [x[tuple(idx)], x[tuple(edge)]])
+            return jnp.concatenate(parts, axis)
+        even = shift(True) * 0.25 + x * 0.75
+        odd = x * 0.75 + shift(False) * 0.25
+        out = jnp.stack([even, odd], axis=axis + 1)
+        shp = list(x.shape)
+        shp[axis] = 2 * n
+        out = out.reshape(shp)
+        idx = [slice(None)] * x.ndim
+        idx[axis] = take
+        return out[tuple(idx)]
     coord = jnp.arange(out_len) / scale - (scale - 1) / (2 * scale)
     coord = jnp.clip(coord, 0.0, n - 1.0)
     lo = jnp.floor(coord).astype(jnp.int32)

@@ -171,8 +171,15 @@ def mc_fused_summaries(model, variables: Any, inputs: tuple, rng: jax.Array,
     t, b = y1.shape[0], y1.shape[1]
 
     can_pallas = (hasattr(model, "head_mc_tail_raw")
-                  and getattr(model, "head_activation", "none") == "none")
+                  and getattr(model, "head_activation", "none") == "none"
+                  and y1.shape[2] >= 2 and y1.shape[3] >= 2)
     if use_pallas is None:
+        # default OFF inside a caller's jit: a Mosaic custom call embedded
+        # in a LARGE XLA program (the trunk) stalls ~25 ms/iteration in
+        # this runtime regardless of kernel content (tools/exp_mc_tail.py
+        # compose2: even a trivial kernel). The Pallas tail wins only when
+        # the tail runs as its own executable — inference.py's split
+        # pipeline does exactly that (measured 7.0 ms tail vs 9.6 ms XLA).
         use_pallas = False
     if use_pallas and not can_pallas:
         import warnings
@@ -182,42 +189,9 @@ def mc_fused_summaries(model, variables: Any, inputs: tuple, rng: jax.Array,
             "elu_plus_one heads do not) — running the XLA tail instead.",
             RuntimeWarning, stacklevel=2)
     if use_pallas and can_pallas:
-        from ..ops import pallas_mc_tail as pmt
-
-        # per-sample scan for the convs (XLA schedules small per-sample
-        # tensors well; the fully batched T*B variant measured ~2x slower),
-        # stacking phase activations into one [T, B, N, P*C] buffer ...
-        def conv_body(_, y_t):
-            raw_t, a_t, b_t = model.apply(variables, y_t,
-                                          method=model.head_mc_tail_raw)
-            return None, (raw_t, a_t, b_t)
-
-        _, (raw, ga, gb) = jax.lax.scan(conv_body, None, y1)
-        h, w, s, s2, cp = raw.shape[2:]
-        phases = s * s2
-        act = raw.reshape(t, b, h * w, phases * cp)
-        # ... then ONE Pallas pass over all T samples: the accumulators
-        # live in VMEM for the whole T loop, so logits/probabilities/
-        # entropies never exist in HBM.
-        # per-channel affine broadcasts over phase-major channel layout
-        ga = jnp.tile(ga.reshape(t * b, cp), (1, phases)).reshape(
-            t, b, phases * cp)
-        gb = jnp.tile(gb.reshape(t * b, cp), (1, phases)).reshape(
-            t, b, phases * cp)
-        wl = variables["params"]["logits_conv"]["kernel"][0, 0]
-        bl = variables["params"]["logits_conv"]["bias"]
-        if class_slice is not None:
-            wl, bl = wl[:, :class_slice], bl[:class_slice]
-        if temperature is not None:
-            temp = _temp(temperature)
-            wl, bl = (wl / temp).astype(wl.dtype), bl / temp
-        p_sum, h_sum = pmt.mc_tail_reduce(
-            act, ga, gb, wl, bl,
-            interpret=(jax.default_backend() != "tpu"))
-        ncls = wl.shape[1]
-        p_sum = p_sum.reshape(b, h, w, s, s2, ncls)
-        h_sum = h_sum.reshape(b, h, w, s, s2)
-        return _mc_epilogue(p_sum, h_sum, n_samples, eps)
+        return mc_pallas_tail_summaries(model, variables, y1, n_samples,
+                                        temperature=temperature,
+                                        class_slice=class_slice, eps=eps)
 
     # sample-sharded: run the tail fully batched over T so the per-sample
     # work partitions across the mesh's data axis instead of serializing
@@ -253,6 +227,89 @@ def mc_fused_summaries(model, variables: Any, inputs: tuple, rng: jax.Array,
         (p_sum, h_sum), _ = jax.lax.scan(
             body, init, y1.reshape((t // k, k) + y1.shape[1:]))
 
+    return _mc_epilogue(p_sum, h_sum, n_samples, eps)
+
+
+def can_pallas_tail(model, height: int, width: int) -> bool:
+    """True when `mc_pallas_tail_summaries` supports the model at this
+    input resolution (the FPN family with raw-logit heads; the tail runs
+    at half resolution, so the phase grid needs >= 2 rows/cols)."""
+    return (hasattr(model, "head_mc_pre")
+            and hasattr(model, "head_mc_tail_raw")
+            and getattr(model, "head_activation", "none") == "none"
+            and height // 2 >= 2 and width // 2 >= 2)
+
+
+def mc_pallas_tail_summaries(model, variables: Any, y1, n_samples: int,
+                             temperature=None, class_slice: int | None = None,
+                             eps: float = 1e-12):
+    """(p_bar, H_norm, MI_norm) from the pre-GN1 dec1 output y1
+    [T, B, h, w, C1] via the fully-Pallas tail.
+
+    Three kernels (ops/pallas_upconv_tail.py, ops/pallas_mc_tail.py): GN1
+    affine + dec2 conv in one pass; the folded upsample+conv with additive
+    border corrections + GN3 partials in a second; the logits / softmax /
+    entropy reduction over T in a third. GroupNorm statistics are the only
+    XLA ops between kernels (tiny lane->group folds); the 6-D phase tensor,
+    logits, probabilities and entropies never exist in HBM.
+
+    IMPORTANT: call this from its OWN jit (inference.py's split pipeline),
+    not from inside a jit that also contains the trunk — a Mosaic custom
+    call embedded in a large XLA program stalls ~25 ms/iteration in this
+    runtime regardless of kernel content (tools/exp_mc_tail.py compose2).
+    """
+    from ..models.layers import _groupnorm_affine, gn_groups
+    from ..ops import pallas_mc_tail as pmt
+    from ..ops import pallas_upconv_tail as put
+
+    t, b = y1.shape[0], y1.shape[1]
+    interp = jax.default_backend() != "tpu"
+    params = variables["params"]
+    y1f = y1.reshape((t * b,) + y1.shape[2:])   # [TB, h, w, C1] pre-GN1
+    h, w, c1 = y1f.shape[1:]
+    g1 = math.gcd(min(32, c1), c1) or 1         # models/fpn.py dec1_gn
+    a1, b1 = _groupnorm_affine(y1f, g1, params["dec1_gn"]["scale"],
+                               params["dec1_gn"]["bias"])
+    k2 = params["dec2"]["Conv_0"]["kernel"]
+    c2 = k2.shape[-1]
+    z2raw, ls2 = put.dec2_act_pallas(y1f, k2, a1, b1, interpret=interp)
+    z2raw = z2raw.reshape(t * b, h, w, c2)
+    gn2 = params["dec2"]["GroupNorm_0"]
+    a2, b2 = put.lane_stats_to_affine(
+        ls2, h * w, gn_groups(c2, 32), gn2["scale"], gn2["bias"],
+        phases=1)
+
+    def gn2row(x):      # post-GN2 boundary slices ([TB, N, C2])
+        return jnp.maximum(
+            x.astype(jnp.float32) * a2[:, None] + b2[:, None],
+            0.0).astype(x.dtype)
+
+    kernel = params["dec_up"]["Conv_0"]["kernel"]
+    slabs = put.border_correction_slabs(
+        kernel, gn2row(z2raw[:, 0]), gn2row(z2raw[:, -1]),
+        gn2row(z2raw[:, :, 0]), gn2row(z2raw[:, :, -1]))
+    act, ls3 = put.upconv_act_pallas(z2raw, kernel, *slabs, a=a2, b=b2,
+                                     interpret=interp)
+    cp = kernel.shape[-1]
+    phases = 4
+    gnp = params["dec_up"]["GroupNorm_0"]
+    ga, gb = put.lane_stats_to_affine(
+        ls3, h * w, gn_groups(cp, 8), gnp["scale"], gnp["bias"])
+    ga = jnp.tile(ga, (1, phases)).reshape(t, b, phases * cp)
+    gb = jnp.tile(gb, (1, phases)).reshape(t, b, phases * cp)
+    act = act.reshape(t, b, h * w, phases * cp)
+    wl = params["logits_conv"]["kernel"][0, 0]
+    bl = params["logits_conv"]["bias"]
+    if class_slice is not None:
+        wl, bl = wl[:, :class_slice], bl[:class_slice]
+    if temperature is not None:
+        temp = _temp(temperature)
+        wl, bl = (wl / temp).astype(wl.dtype), bl / temp
+    p_sum, h_sum = pmt.mc_tail_reduce(act, ga, gb, wl, bl,
+                                      interpret=interp)
+    ncls = wl.shape[1]
+    p_sum = p_sum.reshape(b, h, w, 2, 2, ncls)
+    h_sum = h_sum.reshape(b, h, w, 2, 2)
     return _mc_epilogue(p_sum, h_sum, n_samples, eps)
 
 

@@ -53,13 +53,16 @@ def report(name, secs):
 
 
 def chain(body, init):
+    # init is passed as a jit ARGUMENT (a closure capture would embed the
+    # array as an HLO constant — a >300 MB act buffer then blows the
+    # tunneled remote-compile request with HTTP 413)
     @jax.jit
-    def fn(n):
+    def fn(n, init):
         out = jax.lax.fori_loop(0, n, body, init)
         return jax.tree_util.tree_reduce(
             lambda a, l: a + (l.sum() if l.dtype != jnp.bool_ else 0),
             out, jnp.float32(0)).astype(jnp.int32)
-    return fn
+    return functools.partial(fn, init=init)
 
 
 # ---- trivial pallas kernel --------------------------------------------------
@@ -243,6 +246,465 @@ def main():
         report("tail_pointwise_pallas",
                timed_slope(chain(body_pw_pls, act0)))
 
+    if "split2" in which:
+        # finer breakdown of the conv tail: which span owns the 9.6 ms?
+        from semanticlidarunc_tpu.models.layers import (_groupnorm_affine,
+                                                        gn_groups)
+        from semanticlidarunc_tpu.ops import upconv
+
+        dec_up_kernel = variables["params"]["dec_up"]["Conv_0"]["kernel"]
+        gnp = variables["params"]["dec_up"]["GroupNorm_0"]
+        g3 = gn_groups(dec_up_kernel.shape[-1], 8)
+
+        def scan_of(fn, name):
+            def body(i, y1):
+                def sbody(carry, y_t):
+                    return carry + fn(y_t), None
+                s1, _ = jax.lax.scan(sbody, jnp.float32(0), y1)
+                return y1 + s1.astype(y1.dtype) * 1e-12
+            report(name, timed_slope(chain(body, y10)))
+
+        scan_of(lambda y_t: model.apply(
+            variables, y_t,
+            method=lambda m, y: nn.relu(m.dec1_gn(y)).sum().astype(
+                jnp.float32)), "gn1_only")
+
+        scan_of(lambda y_t: model.apply(
+            variables, y_t,
+            method=lambda m, y: m.dec2(nn.relu(m.dec1_gn(y))).sum().astype(
+                jnp.float32)), "gn1_dec2")
+
+        def noborder(y_t):
+            def go(m, y):
+                z = m.dec2(nn.relu(m.dec1_gn(y)))
+                yp = upconv.upsample_conv_phase_noborder(
+                    z.astype(m.dtype), dec_up_kernel, 2)
+                a, bb = _groupnorm_affine(yp, g3, gnp["scale"], gnp["bias"])
+                return (yp.sum() + a.sum() + bb.sum()).astype(jnp.float32)
+            return model.apply(variables, y_t, method=go)
+        scan_of(noborder, "convs_noborder")
+
+        # sanity: full production convs in this same process
+        def body_convs(i, y1):
+            def sbody(carry, y_t):
+                raw, a, b = model.apply(variables, y_t,
+                                        method=model.head_mc_tail_raw)
+                return (carry[0] + raw.sum(), carry[1] + a.sum() + b.sum()), \
+                    None
+            (s1, s2), _ = jax.lax.scan(
+                sbody, (jnp.float32(0), jnp.float32(0)), y1)
+            return y1 + (s1 + s2).astype(y1.dtype) * 1e-12
+        report("convs_full_again", timed_slope(chain(body_convs, y10)))
+
+        # noborder variants: flat output (no 6D reshape), no GN3
+        kf = upconv.fold_kernel(dec_up_kernel, 2).reshape(
+            3, 3, dec_up_kernel.shape[2], 4 * dec_up_kernel.shape[-1])
+
+        def noborder_flat(y_t):
+            def go(m, y):
+                z = m.dec2(nn.relu(m.dec1_gn(y)))
+                zp = jnp.pad(z, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                             mode="edge")
+                yy = jax.lax.conv_general_dilated(
+                    zp, kf.astype(z.dtype), (1, 1), padding="VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                return yy.sum().astype(jnp.float32)
+            return model.apply(variables, y_t, method=go)
+        scan_of(noborder_flat, "convs_noborder_flat")
+
+        # border strips alone, batched over T*B in ONE shot (no scan)
+        def body_strips(i, y1):
+            t, b = y1.shape[0], y1.shape[1]
+            z = model.apply(
+                variables, y1.reshape((t * b,) + y1.shape[2:]),
+                method=lambda m, y: m.dec2(nn.relu(m.dec1_gn(y))))
+            strips = upconv.border_strips(
+                z, dec_up_kernel.astype(z.dtype), 2)
+            s = sum(r.sum() for r in strips).astype(jnp.float32)
+            return y1 + s.astype(y1.dtype) * 1e-12
+        report("gn1_dec2_plus_strips_batched",
+               timed_slope(chain(body_strips, y10)))
+
+    if "v3" in which:
+        # the fully-Pallas tail now wired into mc_fused_summaries
+        def body_v3(i, y1):
+            p_bar, h_norm, mi = _pallas_tail_from_y1(model, variables, y1)
+            dep = (h_norm.sum() + mi.sum()).astype(y1.dtype)
+            return y1 + dep * 1e-12
+        report("tail_v3_pallas", timed_slope(chain(body_v3, y10)))
+
+        def body_tail1(i, y1):
+            p_bar, h_norm, mi_norm = _tail_from_y1(model, variables, y1, 1)
+            dep = (h_norm.sum() + mi_norm.sum()).astype(y10.dtype)
+            return y1 + dep * 1e-12
+        report("tail_k1_again", timed_slope(chain(body_tail1, y10)))
+
+    if "v3split" in which:
+        from semanticlidarunc_tpu.models.layers import gn_groups
+        from semanticlidarunc_tpu.ops import pallas_mc_tail as pmt
+        from semanticlidarunc_tpu.ops import pallas_upconv_tail as put
+
+        t, b = y10.shape[0], y10.shape[1]
+
+        def mkz(y1):
+            return model.apply(
+                variables, y1.reshape((t * b,) + y1.shape[2:]),
+                method=lambda m, y: m.dec2(jax.nn.relu(m.dec1_gn(y))))
+
+        def mkz_scan(y1):
+            def sb(_, y_t):
+                return None, model.apply(
+                    variables, y_t,
+                    method=lambda m, y: m.dec2(jax.nn.relu(m.dec1_gn(y))))
+            _, z = jax.lax.scan(sb, None, y1)
+            return z.reshape((t * b,) + z.shape[2:])
+
+        def body_z(i, y1):
+            return y1 + mkz(y1).sum().astype(y1.dtype) * 1e-12
+        report("v3_z_batched", timed_slope(chain(body_z, y10)))
+
+        def body_zs(i, y1):
+            return y1 + mkz_scan(y1).sum().astype(y1.dtype) * 1e-12
+        report("v3_z_scanned", timed_slope(chain(body_zs, y10)))
+
+        kernel = variables["params"]["dec_up"]["Conv_0"]["kernel"]
+        gnp = variables["params"]["dec_up"]["GroupNorm_0"]
+        z0 = jax.jit(mkz)(y10)
+
+        def mkslabs(z):
+            return put.border_correction_slabs(
+                kernel, z[:, 0], z[:, -1], z[:, :, 0], z[:, :, -1])
+
+        def body_slabs(i, z):
+            slabs = mkslabs(z)
+            s = sum(r.sum() for r in slabs).astype(jnp.float32)
+            return z + s.astype(z.dtype) * 1e-12
+        report("v3_slabs_only", timed_slope(chain(body_slabs, z0)))
+
+        slabs0 = jax.jit(mkslabs)(z0)
+
+        for rr in (4, 8, 16, 32):
+            def body_kb(i, z, rr=rr):
+                act, st = put.upconv_act_pallas(z, kernel, *slabs0, rows=rr)
+                return z + (act.sum(dtype=jnp.float32)
+                            + st.sum()).astype(z.dtype) * 1e-12
+            try:
+                report(f"v3_kernelB_r{rr}", timed_slope(chain(body_kb, z0)))
+            except Exception as e:
+                print(f"  v3_kernelB_r{rr}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:200]}", flush=True)
+
+        act0, st0 = jax.jit(
+            lambda z: put.upconv_act_pallas(z, kernel, *slabs0))(z0)
+        cp = kernel.shape[-1]
+        h, w = z0.shape[1], z0.shape[2]
+        g3 = gn_groups(cp, 8)
+        ga0, gb0 = put.lane_stats_to_affine(
+            st0, h * w, g3, gnp["scale"], gnp["bias"])
+        ga0 = jnp.tile(ga0, (1, 4)).reshape(t, b, 4 * cp)
+        gb0 = jnp.tile(gb0, (1, 4)).reshape(t, b, 4 * cp)
+        wl = variables["params"]["logits_conv"]["kernel"][0, 0]
+        bl = variables["params"]["logits_conv"]["bias"]
+        act0r = act0.reshape(t, b, h * w, 4 * cp)
+
+        # kernel A (dec2 stage) on the real y1
+        from semanticlidarunc_tpu.models.layers import _groupnorm_affine
+        import math as _math
+        params = variables["params"]
+        y1f0 = y10.reshape((y10.shape[0] * y10.shape[1],) + y10.shape[2:])
+        c1 = y1f0.shape[-1]
+        g1 = _math.gcd(min(32, c1), c1) or 1
+        a10, b10 = jax.jit(lambda y: _groupnorm_affine(
+            y, g1, params["dec1_gn"]["scale"], params["dec1_gn"]["bias"])
+        )(y1f0)
+        k2 = params["dec2"]["Conv_0"]["kernel"]
+
+        def body_ka(i, y1f):
+            z2, ls = put.dec2_act_pallas(y1f, k2, a10, b10)
+            return y1f + (z2.sum(dtype=jnp.float32)
+                          + ls.sum()).astype(y1f.dtype) * 1e-12
+        report("v3_kernelA", timed_slope(chain(body_ka, y1f0)))
+
+        def body_gn1stats(i, y1f):
+            aa, bb = _groupnorm_affine(
+                y1f, g1, params["dec1_gn"]["scale"],
+                params["dec1_gn"]["bias"])
+            return y1f + (aa.sum() + bb.sum()).astype(y1f.dtype) * 1e-12
+        report("v3_gn1stats", timed_slope(chain(body_gn1stats, y1f0)))
+
+        # kernel B without border corrections (isolate the where-add cost)
+        from semanticlidarunc_tpu.ops.upconv import fold_kernel as _fk
+        wu_up = _fk(kernel, 2).reshape(3, 3 * z0.shape[-1], 256).astype(
+            z0.dtype)
+        ones_a = jnp.ones((z0.shape[0], z0.shape[-1]), jnp.float32)
+        zeros_b = jnp.zeros_like(ones_a)
+
+        def body_kbn(i, z):
+            act, st = put._conv_stage_call(
+                z, wu_up, ones_a, zeros_b, None, 256, zero_pad=False,
+                interpret=False, rows=4)
+            return z + (act.sum(dtype=jnp.float32)
+                        + st.sum()).astype(z.dtype) * 1e-12
+        report("v3_kernelB_noborder", timed_slope(chain(body_kbn, z0)))
+
+        for rr in (1024, 2048, 4096, 8192):
+            def body_kc(i, act, rr=rr):
+                p_sum, h_sum = pmt.mc_tail_reduce(act, ga0, gb0, wl, bl,
+                                                  rows=rr)
+                return act + (p_sum.sum()
+                              + h_sum.sum()).astype(act.dtype) * 1e-12
+            try:
+                report(f"v3_kernelC_r{rr}", timed_slope(chain(body_kc,
+                                                              act0r)))
+            except Exception as e:
+                print(f"  v3_kernelC_r{rr}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:160]}", flush=True)
+
+    if "compose" in which:
+        # bisect the full-composition stall: trunk+dec1 feeding the tail
+        def body_full_pallas(i, carry):
+            xx, acc = carry
+            p_bar, h_norm, mi_norm = mc.mc_predictive_summaries(
+                model, variables, (xx, meta0), jax.random.fold_in(key, i),
+                MC_SAMPLES)
+            dep = (h_norm.sum() + mi_norm.sum()) * 1e-12
+            return xx + dep.astype(xx.dtype), acc + p_bar.sum()
+        report("compose_model_pallas",
+               timed_slope(chain(body_full_pallas, (x0, jnp.float32(0)))))
+
+        def body_full_xla(i, carry):
+            xx, acc = carry
+            p_bar, h_norm, mi_norm = mc.mc_fused_summaries(
+                model, variables, (xx, meta0), jax.random.fold_in(key, i),
+                MC_SAMPLES, use_pallas=False)
+            dep = (h_norm.sum() + mi_norm.sum()) * 1e-12
+            return xx + dep.astype(xx.dtype), acc + p_bar.sum()
+        report("compose_model_xla",
+               timed_slope(chain(body_full_xla, (x0, jnp.float32(0)))))
+
+        def body_pre_only(i, carry):
+            xx, acc = carry
+            fused = model.apply(variables, xx, meta0, train=False,
+                                method=model.features)
+            y1 = model.apply(variables, fused, jax.random.fold_in(key, i),
+                             MC_SAMPLES, method=model.head_mc_pre)
+            dep = y1.sum(dtype=jnp.float32) * 1e-12
+            return xx + dep.astype(xx.dtype), acc + dep
+        report("compose_trunk_dec1_only",
+               timed_slope(chain(body_pre_only, (x0, jnp.float32(0)))))
+
+        def body_barrier(i, carry):
+            xx, acc = carry
+            fused = model.apply(variables, xx, meta0, train=False,
+                                method=model.features)
+            y1 = model.apply(variables, fused, jax.random.fold_in(key, i),
+                             MC_SAMPLES, method=model.head_mc_pre)
+            y1 = jax.lax.optimization_barrier(y1)
+            p_bar, h_norm, mi = _pallas_tail_from_y1(model, variables, y1)
+            dep = (h_norm.sum() + mi.sum()) * 1e-12
+            return xx + dep.astype(xx.dtype), acc + p_bar.sum()
+        report("compose_pallas_barrier",
+               timed_slope(chain(body_barrier, (x0, jnp.float32(0)))))
+
+    if "rows" in which:
+        # per-kernel row-chunk sweep with the raised VMEM limit, plus a
+        # pipeline variant that keeps dec2 in XLA (drops kernel A)
+        from semanticlidarunc_tpu.models.layers import (_groupnorm_affine,
+                                                        gn_groups)
+        from semanticlidarunc_tpu.ops import pallas_upconv_tail as put
+        import math as _math
+
+        params = variables["params"]
+        t, b = y10.shape[0], y10.shape[1]
+        y1f0 = y10.reshape((t * b,) + y10.shape[2:])
+        c1 = y1f0.shape[-1]
+        g1 = _math.gcd(min(32, c1), c1) or 1
+        a10, b10 = jax.jit(lambda y: _groupnorm_affine(
+            y, g1, params["dec1_gn"]["scale"], params["dec1_gn"]["bias"])
+        )(y1f0)
+        k2 = params["dec2"]["Conv_0"]["kernel"]
+        kernel = params["dec_up"]["Conv_0"]["kernel"]
+
+        for rr in (4, 8, 16):
+            def body_ka(i, y1f, rr=rr):
+                z2, ls = put.dec2_act_pallas(y1f, k2, a10, b10, rows=rr)
+                return y1f + (z2.sum(dtype=jnp.float32)
+                              + ls.sum()).astype(y1f.dtype) * 1e-12
+            try:
+                report(f"rows_kernelA_r{rr}",
+                       timed_slope(chain(body_ka, y1f0)))
+            except Exception as e:
+                print(f"  rows_kernelA_r{rr}: FAILED {str(e)[:90]}",
+                      flush=True)
+
+        def mkz(y1):
+            return model.apply(
+                variables, y1.reshape((t * b,) + y1.shape[2:]),
+                method=lambda m, y: m.dec2(jax.nn.relu(m.dec1_gn(y))))
+        z0 = jax.jit(mkz)(y10)
+
+        def mkslabs(z):
+            return put.border_correction_slabs(
+                kernel, z[:, 0], z[:, -1], z[:, :, 0], z[:, :, -1])
+        slabs0 = jax.jit(mkslabs)(z0)
+
+        for rr in (4, 8, 16):
+            def body_kb(i, z, rr=rr):
+                act, st = put.upconv_act_pallas(z, kernel, *slabs0, rows=rr)
+                return z + (act.sum(dtype=jnp.float32)
+                            + st.sum()).astype(z.dtype) * 1e-12
+            try:
+                report(f"rows_kernelB_r{rr}", timed_slope(chain(body_kb,
+                                                                z0)))
+            except Exception as e:
+                print(f"  rows_kernelB_r{rr}: FAILED {str(e)[:90]}",
+                      flush=True)
+
+        # full tail WITHOUT kernel A: XLA gn1+dec2 -> B (no affine) -> C
+        gnp = params["dec_up"]["GroupNorm_0"]
+        wl = params["logits_conv"]["kernel"][0, 0]
+        bl = params["logits_conv"]["bias"]
+        from semanticlidarunc_tpu.prob.mc_dropout import _mc_epilogue
+
+        def body_noA(i, y1):
+            z = mkz(y1)
+            slabs = mkslabs(z)
+            act, ls3 = put.upconv_act_pallas(z, kernel, *slabs)
+            cp = kernel.shape[-1]
+            h, w = z.shape[1], z.shape[2]
+            ga, gb = put.lane_stats_to_affine(
+                ls3, h * w, gn_groups(cp, 8), gnp["scale"], gnp["bias"])
+            ga = jnp.tile(ga, (1, 4)).reshape(t, b, 4 * cp)
+            gb = jnp.tile(gb, (1, 4)).reshape(t, b, 4 * cp)
+            actr = act.reshape(t, b, h * w, 4 * cp)
+            p_sum, h_sum = pmt.mc_tail_reduce(actr, ga, gb, wl, bl)
+            p_sum = p_sum.reshape(b, h, w, 2, 2, wl.shape[1])
+            h_sum = h_sum.reshape(b, h, w, 2, 2)
+            p_bar, h_n, mi = _mc_epilogue(p_sum, h_sum, t, 1e-12)
+            dep = (h_n.sum() + mi.sum()).astype(y1.dtype)
+            return y1 + dep * 1e-12
+        report("rows_tail_noA", timed_slope(chain(body_noA, y10)))
+
+        def body_v3(i, y1):
+            p_bar, h_norm, mi = _pallas_tail_from_y1(model, variables, y1)
+            dep = (h_norm.sum() + mi.sum()).astype(y1.dtype)
+            return y1 + dep * 1e-12
+        report("rows_tail_withA", timed_slope(chain(body_v3, y10)))
+
+    if "compose2" in which:
+        # which kernel feature causes the in-composition stall?
+        from semanticlidarunc_tpu.ops import pallas_upconv_tail as put
+        from semanticlidarunc_tpu.models.layers import _groupnorm_affine
+        import math as _math
+
+        def trunk_y1(xx, i):
+            fused = model.apply(variables, xx, meta0, train=False,
+                                method=model.features)
+            return model.apply(variables, fused, jax.random.fold_in(key, i),
+                               MC_SAMPLES, method=model.head_mc_pre)
+
+        # (a) gridded trivial pallas (block specs, no ANY/DMA) on y1
+        def _grid_triv_kernel(x_ref, o_ref):
+            o_ref[:] = x_ref[:] * 1.0001
+
+        def grid_triv(y1):
+            blk = (1, 1, 4) + y1.shape[3:]
+            return pl.pallas_call(
+                _grid_triv_kernel,
+                grid=(y1.shape[0], y1.shape[2] // 4),
+                in_specs=[pl.BlockSpec(
+                    blk, lambda t, rr: (t, 0, rr, 0, 0),
+                    memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(
+                    blk, lambda t, rr: (t, 0, rr, 0, 0),
+                    memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct(y1.shape, y1.dtype),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+            )(y1)
+
+        def body_gt(i, carry):
+            xx, acc = carry
+            y1 = trunk_y1(xx, i)
+            out = grid_triv(y1)
+            dep = out.sum(dtype=jnp.float32) * 1e-12
+            return xx + dep.astype(xx.dtype), acc + dep
+        report("compose2_grid_trivial",
+               timed_slope(chain(body_gt, (x0, jnp.float32(0)))))
+
+        # (a2) gridded trivial on a SMALL input
+        def grid_triv_small(z):
+            return pl.pallas_call(
+                _grid_triv_kernel,
+                grid=(z.shape[0],),
+                in_specs=[pl.BlockSpec((1, 256, 512), lambda t: (t, 0, 0),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((1, 256, 512), lambda t: (t, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct(z.shape, z.dtype),
+            )(z)
+
+        def body_gts(i, carry):
+            xx, acc = carry
+            y1 = trunk_y1(xx, i)
+            small = y1[:, 0, :16, :64, :].reshape(20, 256, 512).astype(
+                jnp.float32)
+            out = grid_triv_small(small)
+            dep = out.sum() * 1e-12 + y1.sum(dtype=jnp.float32) * 1e-12
+            return xx + dep.astype(xx.dtype), acc + dep
+        report("compose2_grid_small",
+               timed_slope(chain(body_gts, (x0, jnp.float32(0)))))
+
+        # (a3) UNgridded trivial on a small input (round-2 no-stall repro)
+        def body_ungrid(i, carry):
+            xx, acc = carry
+            y1 = trunk_y1(xx, i)
+            small = y1[0, 0, :8, :256, :].reshape(256, 1024).astype(
+                jnp.float32)
+            out = trivial_pallas(small)
+            dep = out.sum() * 1e-12 + y1.sum(dtype=jnp.float32) * 1e-12
+            return xx + dep.astype(xx.dtype), acc + dep
+        report("compose2_ungrid_small",
+               timed_slope(chain(body_ungrid, (x0, jnp.float32(0)))))
+
+        # (b) kernel A only (manual DMA from ANY + revisited stats out)
+        params = variables["params"]
+        k2 = params["dec2"]["Conv_0"]["kernel"]
+
+        def body_ka(i, carry):
+            xx, acc = carry
+            y1 = trunk_y1(xx, i)
+            y1f = y1.reshape((y1.shape[0] * y1.shape[1],) + y1.shape[2:])
+            c1 = y1f.shape[-1]
+            g1 = _math.gcd(min(32, c1), c1) or 1
+            a1, b1 = _groupnorm_affine(
+                y1f, g1, params["dec1_gn"]["scale"],
+                params["dec1_gn"]["bias"])
+            z2, ls = put.dec2_act_pallas(y1f, k2, a1, b1)
+            dep = (z2.sum(dtype=jnp.float32) + ls.sum()) * 1e-12
+            return xx + dep.astype(xx.dtype), acc + dep
+        report("compose2_kernelA_only",
+               timed_slope(chain(body_ka, (x0, jnp.float32(0)))))
+
+        # (c) kernel C only, fed by a cheap reshape of y1 (no ANY, no DMA;
+        # revisited accumulator out)
+        wl = params["logits_conv"]["kernel"][0, 0]
+        bl = params["logits_conv"]["bias"]
+
+        def body_kc(i, carry):
+            xx, acc = carry
+            y1 = trunk_y1(xx, i)
+            t_, b_ = y1.shape[0], y1.shape[1]
+            n_ = y1.shape[2] * y1.shape[3] // 2
+            act = y1.reshape(t_, b_, n_, 256)
+            ga = jnp.ones((t_, b_, 256), jnp.float32)
+            gb = jnp.zeros((t_, b_, 256), jnp.float32)
+            p_sum, h_sum = pmt.mc_tail_reduce(act, ga, gb, wl, bl)
+            dep = (p_sum.sum() + h_sum.sum()) * 1e-12
+            return xx + dep.astype(xx.dtype), acc + dep
+        report("compose2_kernelC_only",
+               timed_slope(chain(body_kc, (x0, jnp.float32(0)))))
+
     if "v2" in which:
         # flat-layout XLA tail: everything stays in [R, lanes>=80] 2-D
         # layouts; per-phase softmax via group-selector matmuls (the Pallas
@@ -358,6 +820,58 @@ def _flat_tail(model, variables, y1, wl, bl):
             jnp.zeros((b, r_tot, phases), jnp.float32))
     (p_sum, h_sum), _ = jax.lax.scan(sbody, init, y1)
     return p_sum, h_sum
+
+
+def _pallas_tail_from_y1(model, variables, y1):
+    """mc_fused_summaries' fully-Pallas tail (A->B->C), from a fixed y1."""
+    import math as _math
+
+    import jax.numpy as jnp
+    from semanticlidarunc_tpu.models.layers import (_groupnorm_affine,
+                                                    gn_groups)
+    from semanticlidarunc_tpu.ops import pallas_mc_tail as pmt
+    from semanticlidarunc_tpu.ops import pallas_upconv_tail as put
+    from semanticlidarunc_tpu.prob.mc_dropout import _mc_epilogue
+
+    t, b = y1.shape[0], y1.shape[1]
+    params = variables["params"]
+    y1f = y1.reshape((t * b,) + y1.shape[2:])
+    h, w, c1 = y1f.shape[1:]
+    g1 = _math.gcd(min(32, c1), c1) or 1
+    a1, b1 = _groupnorm_affine(y1f, g1, params["dec1_gn"]["scale"],
+                               params["dec1_gn"]["bias"])
+    k2 = params["dec2"]["Conv_0"]["kernel"]
+    c2 = k2.shape[-1]
+    z2raw, ls2 = put.dec2_act_pallas(y1f, k2, a1, b1)
+    z2raw = z2raw.reshape(t * b, h, w, c2)
+    gn2 = params["dec2"]["GroupNorm_0"]
+    a2, b2 = put.lane_stats_to_affine(
+        ls2, h * w, gn_groups(c2, 32), gn2["scale"], gn2["bias"], phases=1)
+
+    def gn2row(x):
+        return jnp.maximum(
+            x.astype(jnp.float32) * a2[:, None] + b2[:, None],
+            0.0).astype(x.dtype)
+
+    kernel = params["dec_up"]["Conv_0"]["kernel"]
+    slabs = put.border_correction_slabs(
+        kernel, gn2row(z2raw[:, 0]), gn2row(z2raw[:, -1]),
+        gn2row(z2raw[:, :, 0]), gn2row(z2raw[:, :, -1]))
+    act, ls3 = put.upconv_act_pallas(z2raw, kernel, *slabs, a=a2, b=b2)
+    cp = kernel.shape[-1]
+    gnp = params["dec_up"]["GroupNorm_0"]
+    ga, gb = put.lane_stats_to_affine(
+        ls3, h * w, gn_groups(cp, 8), gnp["scale"], gnp["bias"])
+    ga = jnp.tile(ga, (1, 4)).reshape(t, b, 4 * cp)
+    gb = jnp.tile(gb, (1, 4)).reshape(t, b, 4 * cp)
+    act = act.reshape(t, b, h * w, 4 * cp)
+    wl = params["logits_conv"]["kernel"][0, 0]
+    bl = params["logits_conv"]["bias"]
+    p_sum, h_sum = pmt.mc_tail_reduce(act, ga, gb, wl, bl)
+    ncls = wl.shape[1]
+    p_sum = p_sum.reshape(b, h, w, 2, 2, ncls)
+    h_sum = h_sum.reshape(b, h, w, 2, 2)
+    return _mc_epilogue(p_sum, h_sum, t, 1e-12)
 
 
 def _tail_from_y1(model, variables, y1, k):
