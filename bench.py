@@ -183,18 +183,25 @@ def main():
                 acc = acc + s
             return acc
 
+        mega = mc.can_megatail(model, H, W)
+
         @jax.jit
         def stage_model_trunk(xx, i):
             fused = model.apply(variables, xx, meta0, train=False,
                                 method=model.features)
-            return model.apply(variables, fused,
-                               jax.random.fold_in(key, i), MC_SAMPLES,
-                               method=model.head_mc_pre)
+            return model.apply(
+                variables, fused, jax.random.fold_in(key, i), MC_SAMPLES,
+                method=(model.head_mc_pre_flat if mega
+                        else model.head_mc_pre))
 
         @jax.jit
         def stage_model_tail(xx, y1):
-            p_bar, h_norm, mi_norm = mc.mc_pallas_tail_summaries(
-                model, variables, y1, MC_SAMPLES)
+            if mega:
+                p_bar, h_norm, mi_norm = mc.mc_megatail_summaries(
+                    model, variables, y1, MC_SAMPLES)
+            else:
+                p_bar, h_norm, mi_norm = mc.mc_pallas_tail_summaries(
+                    model, variables, y1, MC_SAMPLES)
             preds = jnp.argmax(p_bar, -1)
             dep = (h_norm[..., None] + mi_norm[..., None]) * 1e-9
             return xx + dep.astype(xx.dtype), preds.sum()

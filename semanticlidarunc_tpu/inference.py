@@ -112,21 +112,29 @@ def make_mc_scan_segmenter(model, variables, cfg: dict, height: int,
 
         return run
 
+    mega = mc.can_megatail(model, height, width, class_slice=nc)
+
     @jax.jit
     def stage_trunk(points, valid, rng):
         inputs, flat = preprocess_scan(points, valid, height, width, cfg,
                                        theta_range)
         fused = model.apply(variables, *inputs, train=False,
                             method=model.features)
-        y1 = model.apply(variables, fused, rng, n_samples,
-                         method=model.head_mc_pre)
+        y1 = model.apply(
+            variables, fused, rng, n_samples,
+            method=model.head_mc_pre_flat if mega else model.head_mc_pre)
         return y1, flat
 
     @jax.jit
     def stage_tail(y1, flat):
-        p_bar, h_norm, mi_norm = mc.mc_pallas_tail_summaries(
-            model, variables, y1, n_samples, temperature=temperature,
-            class_slice=nc)
+        if mega:
+            p_bar, h_norm, mi_norm = mc.mc_megatail_summaries(
+                model, variables, y1, n_samples, temperature=temperature,
+                class_slice=nc)
+        else:
+            p_bar, h_norm, mi_norm = mc.mc_pallas_tail_summaries(
+                model, variables, y1, n_samples, temperature=temperature,
+                class_slice=nc)
         seg = jnp.argmax(p_bar[0], axis=-1).astype(jnp.int32)
         return back_project(seg, flat), seg, h_norm[0], mi_norm[0]
 

@@ -203,6 +203,16 @@ class SemanticFPN(nn.Module):
         own T iid masks, so sharing masks across elements changes nothing
         observable — only the (never used) cross-element sample correlation.
         """
+        b, h, w, _ = fused.shape
+        cout = self.dec1_kernel.shape[-1]
+        y = self.head_mc_pre_flat(fused, rng, n_samples)
+        return jnp.moveaxis(y.reshape(b, h, w, n_samples, cout), 3, 0)
+
+    def head_mc_pre_flat(self, fused, rng, n_samples: int):
+        """`head_mc_pre` in the wide conv's NATIVE layout: [B, H, W, T*C]
+        with sample t's activations in lane block [t*C, (t+1)*C). The
+        Pallas mega-tail (ops/pallas_mc_megatail.py) consumes this layout
+        directly, skipping head_mc_pre's 167 MB-at-bench-scale transpose."""
         b, h, w, cin = fused.shape
         t = n_samples
         p = self.pyramid_dropout
@@ -213,11 +223,10 @@ class SemanticFPN(nn.Module):
                  (keep.astype(self.dec1_kernel.dtype) * scale)[:, None, None,
                                                                :, None])
         wbig = jnp.moveaxis(wmask, 0, 3).reshape(3, 3, cin, t * cout)
-        y = jax.lax.conv_general_dilated(
+        return jax.lax.conv_general_dilated(
             fused.astype(self.dtype), wbig.astype(self.dtype),
             window_strides=(1, 1), padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return jnp.moveaxis(y.reshape(b, h, w, t, cout), 3, 0)
 
     def head_post(self, y1):
         """Per-sample tail after head_mc_pre: [B, H, W, C_dec] -> logits."""

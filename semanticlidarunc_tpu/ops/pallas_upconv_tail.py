@@ -142,6 +142,10 @@ def _kernel(h2, w2, c, pc, zero_pad, with_border, with_affine, *refs):
 
 
 def _pick_rows(h2: int, target: int = 4) -> int:
+    """Largest divisor of h2 <= target. Measured on v5e at bench scale
+    (tools/exp_mc_tail.py `rows`): dec2 stage best at 16 rows/chunk, the
+    wider dec_up stage best at 8 (its f32 accumulator doubles the VMEM
+    footprint per row)."""
     for r in range(min(h2, target), 0, -1):
         if h2 % r == 0:
             return r
@@ -231,6 +235,8 @@ def upconv_act_pallas(z, kernel, row0, rowl, col0, coll, a=None, b=None,
     tb, h2, w2, c = z.shape
     pc = 4 * kernel.shape[-1]
     wu = fold_kernel(kernel, 2).reshape(3, 3 * c, pc).astype(z.dtype)
+    if rows is None:
+        rows = _pick_rows(h2, target=8)
     return _conv_stage_call(z, wu, a, b, (row0, rowl, col0, coll), pc,
                             zero_pad=False, interpret=interpret, rows=rows)
 
@@ -252,6 +258,8 @@ def dec2_act_pallas(y1, kernel, a, b, interpret: bool = False,
     tb, h2, w2, c = y1.shape
     c2 = kernel.shape[-1]
     wu = kernel.reshape(3, 3 * c, c2).astype(y1.dtype)
+    if rows is None:
+        rows = _pick_rows(h2, target=16)
     return _conv_stage_call(y1, wu, a, b, None, c2, zero_pad=True,
                             interpret=interpret, rows=rows)
 

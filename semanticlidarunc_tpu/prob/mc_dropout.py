@@ -240,6 +240,42 @@ def can_pallas_tail(model, height: int, width: int) -> bool:
             and height // 2 >= 2 and width // 2 >= 2)
 
 
+def can_megatail(model, height: int, width: int,
+                 class_slice: int | None = None) -> bool:
+    """True when the single-kernel mega-tail supports the model: the
+    can_pallas_tail conditions plus the packed p/h accumulator limit
+    (4*K + 4 <= 128 lanes)."""
+    k = getattr(model, "num_classes", 0)
+    if class_slice is not None:
+        k = class_slice
+    return (can_pallas_tail(model, height, width) and 0 < k
+            and 4 * k + 4 <= 128)
+
+
+def mc_megatail_summaries(model, variables: Any, y1_flat, n_samples: int,
+                          temperature=None, class_slice: int | None = None,
+                          eps: float = 1e-12):
+    """(p_bar, H_norm, MI_norm) from the FLAT pre-GN1 dec1 output
+    [B, h, w, T*C1] (model.head_mc_pre_flat) via the single Pallas
+    mega-kernel (ops/pallas_mc_megatail.py) — the whole per-sample tail in
+    one program, every intermediate resident in VMEM. Same split-jit
+    requirement as `mc_pallas_tail_summaries`."""
+    from ..ops import pallas_mc_megatail as pmm
+
+    params = variables["params"]
+    wl = params["logits_conv"]["kernel"][0, 0]
+    bl = params["logits_conv"]["bias"]
+    if class_slice is not None:
+        wl, bl = wl[:, :class_slice], bl[:class_slice]
+    if temperature is not None:
+        temp = _temp(temperature)
+        wl, bl = (wl / temp).astype(wl.dtype), bl / temp
+    p_sum, h_sum = pmm.mc_megatail(
+        y1_flat, params, wl, bl, n_samples=n_samples,
+        interpret=(jax.default_backend() != "tpu"))
+    return _mc_epilogue(p_sum, h_sum, n_samples, eps)
+
+
 def mc_pallas_tail_summaries(model, variables: Any, y1, n_samples: int,
                              temperature=None, class_slice: int | None = None,
                              eps: float = 1e-12):

@@ -591,6 +591,34 @@ def main():
             return y1 + dep * 1e-12
         report("rows_tail_withA", timed_slope(chain(body_v3, y10)))
 
+    if "mega" in which:
+        from semanticlidarunc_tpu.ops import pallas_mc_megatail as pmm
+        from semanticlidarunc_tpu.prob.mc_dropout import _mc_epilogue
+        params = variables["params"]
+        wl = params["logits_conv"]["kernel"][0, 0]
+        bl = params["logits_conv"]["bias"]
+
+        for rgx in (4, 8, 16):
+            def body_mega(i, y1, rgx=rgx):
+                p_sum, h_sum = pmm.mc_megatail(y1, params, wl, bl,
+                                               row_group=rgx)
+                p_bar, h_n, mi = _mc_epilogue(p_sum, h_sum, y1.shape[0],
+                                              1e-12)
+                dep = (h_n.sum() + mi.sum()).astype(y1.dtype)
+                return y1 + dep * 1e-12
+            try:
+                report(f"mega_tail_rg{rgx}",
+                       timed_slope(chain(body_mega, y10)))
+            except Exception as e:
+                print(f"  mega_tail_rg{rgx}: FAILED {str(e)[:90]}",
+                      flush=True)
+
+        def body_v3(i, y1):
+            p_bar, h_norm, mi = _pallas_tail_from_y1(model, variables, y1)
+            dep = (h_norm.sum() + mi.sum()).astype(y1.dtype)
+            return y1 + dep * 1e-12
+        report("tail_3kernel", timed_slope(chain(body_v3, y10)))
+
     if "compose2" in which:
         # which kernel feature causes the in-composition stall?
         from semanticlidarunc_tpu.ops import pallas_upconv_tail as put
