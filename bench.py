@@ -166,20 +166,45 @@ def main():
     use_split = (jax.default_backend() == "tpu"
                  and mc.can_pallas_tail(model, H, W))
     if use_split:
-        run_mc = inference.make_mc_scan_segmenter(
-            model, variables, cfg, H, W, n_samples=MC_SAMPLES)
+        # same two stages make_mc_scan_segmenter builds (verified identical
+        # by tests), with the serial-dependency absorption folded into
+        # stage 1 so each scan costs exactly the product's two dispatches
+        mega_f = mc.can_megatail(model, H, W)
 
         @jax.jit
-        def _absorb(pts, labels, h_n, mi_n):
-            dep = (h_n.sum() + mi_n.sum()) * 1e-12
-            return pts + dep.astype(pts.dtype), labels.sum()
+        def full_stage1(pts, valid, rng, h_prev, mi_prev):
+            dep = (h_prev.sum() + mi_prev.sum()) * 1e-12
+            pts = pts + dep.astype(pts.dtype)
+            inputs, flat = inference.preprocess_scan(pts, valid, H, W, cfg)
+            fused = model.apply(variables, *inputs, train=False,
+                                method=model.features)
+            y1 = model.apply(
+                variables, fused, rng, MC_SAMPLES,
+                method=(model.head_mc_pre_flat if mega_f
+                        else model.head_mc_pre))
+            return y1, flat
+
+        @jax.jit
+        def full_stage2(y1, flat):
+            if mega_f:
+                p_bar, h_norm, mi_norm = mc.mc_megatail_summaries(
+                    model, variables, y1, MC_SAMPLES)
+            else:
+                p_bar, h_norm, mi_norm = mc.mc_pallas_tail_summaries(
+                    model, variables, y1, MC_SAMPLES)
+            seg = jnp.argmax(p_bar[0], axis=-1).astype(jnp.int32)
+            labels = inference.back_project(seg, flat)
+            return labels.sum(), h_norm[0], mi_norm[0]
 
         def chained_full(n):
-            pts, acc = points, jnp.int32(0)
+            acc = jnp.int32(0)
+            h_prev = jnp.zeros((H, W), jnp.float32)
+            mi_prev = jnp.zeros((H, W), jnp.float32)
             for i in range(int(n)):
-                labels, seg, h_n, mi_n = run_mc(
-                    pts, valid, jax.random.fold_in(key, i))
-                pts, s = _absorb(pts, labels, h_n, mi_n)
+                y1, flat = full_stage1(points, valid,
+                                       jax.random.fold_in(key, i),
+                                       h_prev, mi_prev)
+                s, h_prev, mi_prev = full_stage2(y1, flat)
                 acc = acc + s
             return acc
 

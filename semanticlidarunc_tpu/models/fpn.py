@@ -129,9 +129,17 @@ class SemanticFPN(nn.Module):
             x3 = self.attention3(x3)
             x2 = self.attention2(x2)
             x1 = self.attention1(x1)
-        x4 = self.upsample_x4(x4, use_fused=not train)
-        x3 = self.upsample_x3(x3, use_fused=not train)
-        x2 = self.upsample_x2(x2, use_fused=not train)
+        # FPN upsample blocks run the plain resize->conv composition in BOTH
+        # modes: on their small low-res grids the phase-fused form loses
+        # (measured v5e resnet50 64x2048 inference: x8 2.09 ms fused vs
+        # 0.67 resize, x4 0.43 vs 0.28, x2 0.33 vs 0.19 — the folded
+        # kernel carries s^2 phase copies, 151 MB of weights for the x8
+        # block). Only the decoder's dec_up (scale 2 on the LARGE 1/2-res
+        # grid) keeps the fused phase form — it is what lets the whole MC
+        # tail run at half resolution and feed the Pallas kernels.
+        x4 = self.upsample_x4(x4, use_fused=False)
+        x3 = self.upsample_x3(x3, use_fused=False)
+        x2 = self.upsample_x2(x2, use_fused=False)
         return jnp.concatenate([x1, x2, x3, x4], axis=-1)
 
     def _dec1(self, y):

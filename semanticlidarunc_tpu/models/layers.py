@@ -53,6 +53,14 @@ class UpsampleBlock(nn.Module):
     border assembly. The param tree matches the nn.Conv layout
     ("Conv_0/kernel") either way, so torch-checkpoint converters and
     existing orbax checkpoints load unchanged.
+
+    Where the fusion actually wins: only the decoder's dec_up (scale 2 on
+    the LARGE 1/2-res grid, 4 phases — and it is what feeds the Pallas MC
+    tail). On the FPN blocks' tiny low-res grids the folded kernel's s^2
+    phase copies (151 MB of weights for the resnet50 x8 block) lose to
+    plain resize->conv — measured v5e 64x2048 inference: x8 2.09 ms fused
+    vs 0.67 resize, x4 0.43 vs 0.28, x2-FPN 0.33 vs 0.19 — so
+    models/fpn.py passes use_fused=False for them in both modes.
     """
     features: int
     scale: int
