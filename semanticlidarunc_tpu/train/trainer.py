@@ -321,6 +321,50 @@ class Trainer:
 
         self._gradnorm_fn = None
 
+        def metric_stats(evalu, labels, h_norm, mi_norm, conf, mode, rng,
+                         with_mcrel):
+            """All streaming eval statistics from the per-pixel predictive
+            quantities (shared by the fused eval step and the split-
+            executable MC eval path)."""
+            preds = jnp.argmax(evalu, axis=-1)
+            cm = iou_m.confusion_matrix(preds, labels, nc)
+            e_cnt, e_conf, e_corr = ece_m.ece_bin_stats(
+                evalu, labels, n_bins=self.ece_eval.fine_bins,
+                ignore_index=self.ignore_index, mode=mode)
+            he, ho = auroc_m.roc_histograms(h_norm, preds, labels,
+                                            ignore_index=self.ignore_index)
+            he_mi, ho_mi = auroc_m.roc_histograms(
+                mi_norm, preds, labels, ignore_index=self.ignore_index)
+            rc_cnt, rc_err = aurc_m.rc_histograms(
+                conf, preds, labels, ignore_index=self.ignore_index)
+            valid = labels != self.ignore_index
+            cls_unc = unc_m.class_uncertainty_histograms(labels, h_norm, nc)
+            ua_cnt, ua_cor = unc_m.acc_vs_uncertainty_bins(
+                h_norm, preds == labels, valid)
+            # entropy/error diagnostics (reference probability_helper.py:
+            # 389-450): streaming (inter, union) per threshold + per-bin
+            # error-rate reliability stats
+            err = (preds != labels) & valid
+            ee = pdl.entropy_error_iou_stats(h_norm, err, valid,
+                                             self.ee_thresholds)
+            er = pdl.entropy_reliability_stats(h_norm, err, valid)
+            out = {"confmat": cm, "ece": (e_cnt, e_conf, e_corr),
+                   "roc": (he, ho), "roc_mi": (he_mi, ho_mi),
+                   "rc": (rc_cnt, rc_err), "class_unc": cls_unc,
+                   "ua": (ua_cnt, ua_cor), "ee": ee, "er": er}
+            if with_mcrel:
+                # MC-Dirichlet reliability (reference :339-366): 64
+                # Dirichlet draws per pixel on a stride-2 spatial subsample
+                # (the draw buffer at full res would be ~0.7 GB/scan for no
+                # extra diagram fidelity)
+                out["mcrel"] = pdl.mc_reliability_stats(
+                    jax.random.fold_in(rng, 1),
+                    evalu[:, ::2, ::2], labels[:, ::2, ::2],
+                    valid[:, ::2, ::2])
+            return out
+
+        self._metric_stats = metric_stats
+
         def make_eval_step(sample_sharding=None):
           def eval_step(state_params, batch_stats, batch, rng,
                         temperature=1.0):
@@ -373,42 +417,10 @@ class Trainer:
                     mi_norm = jnp.zeros_like(h_norm)
                     conf = jnp.max(p, axis=-1)
                     mode = "probs"
-            preds = jnp.argmax(evalu, axis=-1)
-            cm = iou_m.confusion_matrix(preds, labels, nc)
-            e_cnt, e_conf, e_corr = ece_m.ece_bin_stats(
-                evalu, labels, n_bins=self.ece_eval.fine_bins,
-                ignore_index=self.ignore_index, mode=mode)
-            he, ho = auroc_m.roc_histograms(h_norm, preds, labels,
-                                            ignore_index=self.ignore_index)
-            he_mi, ho_mi = auroc_m.roc_histograms(
-                mi_norm, preds, labels, ignore_index=self.ignore_index)
-            rc_cnt, rc_err = aurc_m.rc_histograms(
-                conf, preds, labels, ignore_index=self.ignore_index)
-            valid = labels != self.ignore_index
-            cls_unc = unc_m.class_uncertainty_histograms(labels, h_norm, nc)
-            ua_cnt, ua_cor = unc_m.acc_vs_uncertainty_bins(
-                h_norm, preds == labels, valid)
-            # entropy/error diagnostics (reference probability_helper.py:
-            # 389-450): streaming (inter, union) per threshold + per-bin
-            # error-rate reliability stats
-            err = (preds != labels) & valid
-            ee = pdl.entropy_error_iou_stats(h_norm, err, valid,
-                                             self.ee_thresholds)
-            er = pdl.entropy_reliability_stats(h_norm, err, valid)
-            out = {"confmat": cm, "ece": (e_cnt, e_conf, e_corr),
-                   "roc": (he, ho), "roc_mi": (he_mi, ho_mi),
-                   "rc": (rc_cnt, rc_err), "class_unc": cls_unc,
-                   "ua": (ua_cnt, ua_cor), "ee": ee, "er": er}
-            if self.loss_name == "Dirichlet" and not self.use_mc_sampling:
-                # MC-Dirichlet reliability (reference :339-366): 64 Dirichlet
-                # draws per pixel on a stride-2 spatial subsample (the draw
-                # buffer at full res would be ~0.7 GB/scan for no extra
-                # diagram fidelity)
-                out["mcrel"] = pdl.mc_reliability_stats(
-                    jax.random.fold_in(rng, 1),
-                    evalu[:, ::2, ::2], labels[:, ::2, ::2],
-                    valid[:, ::2, ::2])
-            return out
+            return metric_stats(
+                evalu, labels, h_norm, mi_norm, conf, mode, rng,
+                with_mcrel=(self.loss_name == "Dirichlet"
+                            and not self.use_mc_sampling))
           return eval_step
 
         eval_step = make_eval_step()
@@ -430,6 +442,54 @@ class Trainer:
         else:
             self._eval_step = jax.jit(eval_step)
         self._terms_of_params = terms_of_params
+
+        # split-executable MC eval (single-device): trunk + folded-dropout
+        # dec1 in one program, the Pallas mega-tail + metric statistics in
+        # another — a Mosaic custom call embedded in the large trunk
+        # program stalls ~25 ms/iteration in this runtime, so the fused
+        # eval step keeps the XLA tail while this path (dispatched by
+        # eval_batch on TPU when the model qualifies) gets the kernel
+        # speed. Same rng -> identical dropout masks -> identical math to
+        # the fused path (tests/test_train_step.py).
+        self._eval_pre = None
+        self._eval_post = None
+        self.force_split_eval = False          # tests: force on CPU
+        if self.use_mc_sampling and self.mesh is None:
+            def eval_pre(params, batch_stats, batch, rng):
+                inputs = registry.set_model_inputs(
+                    batch["range"], batch["reflectivity"], batch["xyz"],
+                    batch["normals"], self.cfg)
+                variables = {"params": params}
+                if batch_stats is not None:
+                    variables["batch_stats"] = batch_stats
+                fused = self.model.apply(variables, *inputs, train=False,
+                                         method=self.model.features)
+                return self.model.apply(
+                    variables, fused, rng, self.mc_samples,
+                    method=self.model.head_mc_pre_flat)
+
+            def eval_post(params, y1, labels, rng, temperature=1.0):
+                p_bar, h_norm, mi_norm = mc.mc_megatail_summaries(
+                    self.model, {"params": params}, y1, self.mc_samples,
+                    temperature=temperature,
+                    class_slice=(nc if self.loss_name == "Dirichlet"
+                                 else None))
+                conf = jnp.max(p_bar, axis=-1)
+                return metric_stats(p_bar, labels, h_norm, mi_norm, conf,
+                                    "probs", rng, with_mcrel=False)
+
+            self._eval_pre = jax.jit(eval_pre)
+            self._eval_post = jax.jit(eval_post)
+
+    def _use_split_eval(self, batch) -> bool:
+        if self._eval_pre is None:
+            return False
+        if jax.default_backend() != "tpu" and not self.force_split_eval:
+            return False
+        h, w = batch["range"].shape[1:3]
+        nc_slice = (self.num_classes if self.loss_name == "Dirichlet"
+                    else None)
+        return mc.can_megatail(self.model, h, w, class_slice=nc_slice)
 
     def temp_scalar(self) -> jnp.ndarray:
         """Current post-hoc temperature as the traced eval-step argument
@@ -462,6 +522,10 @@ class Trainer:
                       for k, v in batch.items()}
             return self._eval_step_mc_sharded(params, batch_stats, placed,
                                               rng, temperature)
+        if self._use_split_eval(batch):
+            y1 = self._eval_pre(params, batch_stats, batch, rng)
+            return self._eval_post(params, y1, batch["labels"], rng,
+                                   temperature)
         return self._eval_step(params, batch_stats, self.place_batch(batch),
                                rng, temperature)
 

@@ -80,6 +80,40 @@ def test_mc_eval_path():
     assert np.isfinite(stats["mIoU"])
 
 
+def test_mc_split_eval_matches_fused():
+    """The split-executable MC eval path (Pallas mega-tail in its own
+    program, trainer.eval_batch dispatch) must produce the same metric
+    statistics as the fused single-jit eval step — same rng, identical
+    dropout masks."""
+    import jax
+
+    cfg = _cfg("CE")
+    cfg["model_settings"]["use_mc_sampling"] = True
+    cfg["model_settings"]["mc_samples"] = 3
+    tr, state, loader, _ = _run_epochs(cfg, n_epochs=1)
+    batch = next(iter(loader))
+    rng = jax.random.PRNGKey(7)
+    fused = tr._eval_step(state.params, state.batch_stats, batch, rng,
+                          tr.temp_scalar())
+    assert tr._eval_pre is not None
+    tr.force_split_eval = True
+    assert tr._use_split_eval(batch)
+    split = tr.eval_batch(state.params, state.batch_stats, batch, rng,
+                          tr.temp_scalar())
+    assert set(split.keys()) == set(fused.keys())
+    for k in fused:
+        for a, b in zip(jax.tree_util.tree_leaves(fused[k]),
+                        jax.tree_util.tree_leaves(split[k])):
+            a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+            # count-quantized statistics (histogram bins, confusion matrix)
+            # may shift a few pixels when p_bar differs at the 1e-7 level
+            # near a bin edge/argmax tie; require near-identical values and
+            # conserved totals
+            np.testing.assert_allclose(b, a, atol=4.0, err_msg=k)
+            np.testing.assert_allclose(b.sum(), a.sum(), rtol=1e-5,
+                                       atol=1e-3, err_msg=f"{k} total")
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from semanticlidarunc_tpu.train import checkpoint as ck
     cfg = _cfg("CE")
