@@ -79,21 +79,52 @@ def make_batched_segmenter(model, variables, cfg: dict, height: int,
 def make_batched_mc_segmenter(model, variables, cfg: dict, height: int,
                               width: int, n_samples: int = 20,
                               theta_range=None):
-    """jitted: (points [B,N,>=4], valid [B,N], rng) ->
-    (point_labels [B,N], seg, h_norm, mi_norm [B,H,W])."""
+    """jit-backed: (points [B,N,>=4], valid [B,N], rng) ->
+    (point_labels [B,N], seg, h_norm, mi_norm [B,H,W]).
+
+    On TPU with a qualifying model this is the same split pipeline as
+    inference.make_mc_scan_segmenter (trunk executable + Pallas mega-tail
+    executable — see that docstring), batched over B scans."""
     is_dirichlet = cfg["model_settings"].get("loss_function") == "Dirichlet"
     nc = (getattr(model, "num_classes", 0) - 1) if is_dirichlet else None
     temperature = cfg.get("extras", {}).get("temperature")
+    mega = (jax.default_backend() == "tpu"
+            and mc.can_megatail(model, height, width, class_slice=nc))
+
+    if not mega:
+        @jax.jit
+        def run(points, valid, rng):
+            inputs, flat = _batched_inputs(points, valid, height, width,
+                                           theta_range, cfg)
+            p_bar, h_norm, mi_norm = mc.mc_predictive_summaries(
+                model, variables, tuple(inputs), rng, n_samples,
+                temperature=temperature, class_slice=nc)
+            seg = jnp.argmax(p_bar, axis=-1).astype(jnp.int32)
+            return jax.vmap(back_project)(seg, flat), seg, h_norm, mi_norm
+
+        return run
 
     @jax.jit
-    def run(points, valid, rng):
+    def stage_trunk(points, valid, rng):
         inputs, flat = _batched_inputs(points, valid, height, width,
                                        theta_range, cfg)
-        p_bar, h_norm, mi_norm = mc.mc_predictive_summaries(
-            model, variables, tuple(inputs), rng, n_samples,
-            temperature=temperature, class_slice=nc)
+        fused = model.apply(variables, *inputs, train=False,
+                            method=model.features)
+        y1 = model.apply(variables, fused, rng, n_samples,
+                         method=model.head_mc_pre_flat)
+        return y1, flat
+
+    @jax.jit
+    def stage_tail(y1, flat):
+        p_bar, h_norm, mi_norm = mc.mc_megatail_summaries(
+            model, variables, y1, n_samples, temperature=temperature,
+            class_slice=nc)
         seg = jnp.argmax(p_bar, axis=-1).astype(jnp.int32)
         return jax.vmap(back_project)(seg, flat), seg, h_norm, mi_norm
+
+    def run(points, valid, rng):
+        y1, flat = stage_trunk(points, valid, rng)
+        return stage_tail(y1, flat)
 
     return run
 
