@@ -129,14 +129,13 @@ class SemanticFPN(nn.Module):
             x3 = self.attention3(x3)
             x2 = self.attention2(x2)
             x1 = self.attention1(x1)
-        # FPN upsample blocks run the plain resize->conv composition in BOTH
-        # modes: on their small low-res grids the phase-fused form loses
-        # (measured v5e resnet50 64x2048 inference: x8 2.09 ms fused vs
-        # 0.67 resize, x4 0.43 vs 0.28, x2 0.33 vs 0.19 — the folded
-        # kernel carries s^2 phase copies, 151 MB of weights for the x8
-        # block). Only the decoder's dec_up (scale 2 on the LARGE 1/2-res
-        # grid) keeps the fused phase form — it is what lets the whole MC
-        # tail run at half resolution and feed the Pallas kernels.
+        # FPN upsample blocks always run the resize->conv composition: on
+        # their small low-res grids the phase-fused form loses (flagship
+        # 64x2048 per-block measurement: x8 2.09 ms fused vs 0.67 resize,
+        # x4 0.43 vs 0.28, x2 0.33 vs 0.19; e2e A/B: all-resize 57.4
+        # scans/s vs size-thresholded "auto" 55.9). Only the decoder's
+        # dec_up (4 phases on the LARGE 1/2-res grid) is fused — it feeds
+        # the Pallas MC tail.
         x4 = self.upsample_x4(x4, use_fused=False)
         x3 = self.upsample_x3(x3, use_fused=False)
         x2 = self.upsample_x2(x2, use_fused=False)

@@ -54,13 +54,16 @@ class UpsampleBlock(nn.Module):
     ("Conv_0/kernel") either way, so torch-checkpoint converters and
     existing orbax checkpoints load unchanged.
 
-    Where the fusion actually wins: only the decoder's dec_up (scale 2 on
-    the LARGE 1/2-res grid, 4 phases — and it is what feeds the Pallas MC
-    tail). On the FPN blocks' tiny low-res grids the folded kernel's s^2
-    phase copies (151 MB of weights for the resnet50 x8 block) lose to
-    plain resize->conv — measured v5e 64x2048 inference: x8 2.09 ms fused
-    vs 0.67 resize, x4 0.43 vs 0.28, x2-FPN 0.33 vs 0.19 — so
-    models/fpn.py passes use_fused=False for them in both modes.
+    `use_fused="auto"` picks per block by folded-kernel size: the fused
+    form carries s^2 phase copies of the conv weights, and once that
+    tensor outgrows ~64 MB the weight traffic swamps the saved upsample
+    round-trip. Measured v5e 64x2048 resnet50 inference: the x8 block
+    (151 MB folded) runs 2.09 ms fused vs 0.67 resize+conv while the
+    small-folded blocks keep a modest fused win; per-backbone forwards
+    move with their channel widths (resnet50 128x2048: 10.1 -> 9.0 ms
+    from un-fusing x8 alone; shufflenet's <=31 MB blocks prefer fused).
+    The decoder's dec_up (4 phases, large grid) is always fused — it is
+    what feeds the Pallas MC tail.
     """
     features: int
     scale: int
@@ -69,8 +72,13 @@ class UpsampleBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, phase_form: bool = False, raw_affine: bool = False,
-                 use_fused: bool = True):
+                 use_fused="auto"):
         from ..ops import upconv
+
+        if use_fused == "auto":
+            folded_bytes = (9 * x.shape[-1] * self.scale ** 2
+                            * self.features * 2)
+            use_fused = folded_bytes <= 64 * 1024 * 1024
 
         kernel = self.param(
             "Conv_0",
