@@ -52,6 +52,18 @@ def test_fused_scan_segmenter():
     assert h_norm.shape == (h, w) and mi_norm.shape == (h, w)
     assert np.isfinite(np.asarray(h_norm)).all()
 
+    # the split Pallas-tail pipeline (the TPU production path; interpreter
+    # here) must match the single-jit XLA tail — same rng, same masks
+    mc_split = inf.make_mc_scan_segmenter(model, variables, cfg, h, w,
+                                          n_samples=3, use_pallas_tail=True)
+    labels3, seg3, h3, mi3 = mc_split(pts_j, valid_j, key)
+    np.testing.assert_array_equal(np.asarray(seg3), np.asarray(seg2))
+    np.testing.assert_array_equal(np.asarray(labels3), np.asarray(labels2))
+    np.testing.assert_allclose(np.asarray(h3), np.asarray(h_norm),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(mi3), np.asarray(mi_norm),
+                               atol=5e-5)
+
 
 def test_fused_dirichlet_segmenter_strips_unknown_class():
     h, w = 16, 32
