@@ -129,16 +129,16 @@ class SemanticFPN(nn.Module):
             x3 = self.attention3(x3)
             x2 = self.attention2(x2)
             x1 = self.attention1(x1)
-        # FPN upsample blocks always run the resize->conv composition: on
-        # their small low-res grids the phase-fused form loses (flagship
-        # 64x2048 per-block measurement: x8 2.09 ms fused vs 0.67 resize,
-        # x4 0.43 vs 0.28, x2 0.33 vs 0.19; e2e A/B: all-resize 57.4
-        # scans/s vs size-thresholded "auto" 55.9). Only the decoder's
-        # dec_up (4 phases on the LARGE 1/2-res grid) is fused — it feeds
-        # the Pallas MC tail.
-        x4 = self.upsample_x4(x4, use_fused=False)
-        x3 = self.upsample_x3(x3, use_fused=False)
-        x2 = self.upsample_x2(x2, use_fused=False)
+        # FPN upsample blocks: per-block "auto" choice between the fused
+        # phase form and resize->conv (see UpsampleBlock docstring — fused
+        # needs a small folded kernel AND a large grid; at the flagship's
+        # 64x2048 every FPN block resolves to resize, at 128x2048 the
+        # small-channel families keep their x2 block fused). Training
+        # always uses resize->conv (faster backward).
+        fpn_fused = False if train else "auto"
+        x4 = self.upsample_x4(x4, use_fused=fpn_fused)
+        x3 = self.upsample_x3(x3, use_fused=fpn_fused)
+        x2 = self.upsample_x2(x2, use_fused=fpn_fused)
         return jnp.concatenate([x1, x2, x3, x4], axis=-1)
 
     def _dec1(self, y):

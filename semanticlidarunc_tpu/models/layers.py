@@ -76,9 +76,16 @@ class UpsampleBlock(nn.Module):
         from ..ops import upconv
 
         if use_fused == "auto":
+            # fused wins only when BOTH hold: the folded kernel (s^2 phase
+            # copies of the weights) stays small AND the low-res grid is
+            # large enough to amortize the border-strip fixed cost — every
+            # measured case (v5e round 3: per-block A/Bs at 64x2048, the
+            # e2e flagship A/B, and the 128x2048 backbone sweep deltas)
+            # separates on (64 MB, 16384 px)
             folded_bytes = (9 * x.shape[-1] * self.scale ** 2
                             * self.features * 2)
-            use_fused = folded_bytes <= 64 * 1024 * 1024
+            use_fused = (folded_bytes <= 64 * 1024 * 1024
+                         and x.shape[1] * x.shape[2] >= 16384)
 
         kernel = self.param(
             "Conv_0",
