@@ -239,12 +239,14 @@ def main():
                 acc = acc + s
             return acc
 
+    # metric priority under the wall budget: (1) primary e2e, (2) train-step
+    # throughput (VERDICT r2 #6 — train-path regressions must be externally
+    # visible), (3) the secondary model-only number if time remains
     per_scan_full = _timed_slope(chained_full, N_ITERS)
-    per_scan_model = _timed_slope(chained_model, N_ITERS)
 
-    # -- optional: bs8 train-step throughput (VERDICT r2 #6), run in a
-    # subprocess with the REMAINING time budget so a slow compile can never
-    # cost us the primary metric --
+    # bs8 train-step throughput in a subprocess with the remaining budget
+    # (minus a reserve for the model-only metric) so a slow compile can
+    # never cost us the primary metric
     train_scans = None
     remaining = BUDGET_S - (time.monotonic() - _T0) - 20.0
     if remaining > 60.0:
@@ -259,13 +261,18 @@ def main():
         except (subprocess.TimeoutExpired, Exception):
             train_scans = None
 
+    per_scan_model = None
+    if BUDGET_S - (time.monotonic() - _T0) > 30.0:
+        per_scan_model = _timed_slope(chained_model, N_ITERS)
+
     scans_per_sec = 1.0 / per_scan_full
     print(json.dumps({
         "metric": "kitti_mc20_e2e_scans_per_sec",
         "value": round(scans_per_sec, 3),
         "unit": "scans/s/chip",
         "vs_baseline": round(scans_per_sec / BASELINE_SCANS_PER_SEC, 3),
-        "model_only_scans_per_sec": round(1.0 / per_scan_model, 3),
+        "model_only_scans_per_sec": (None if per_scan_model is None
+                                     else round(1.0 / per_scan_model, 3)),
         "train_bs8_scans_per_sec": train_scans,
         "vs_reference_gpu": round(
             scans_per_sec / REFERENCE_GPU_SCANS_PER_SEC, 3),
