@@ -37,7 +37,7 @@ from .prob import mc_dropout as mc
 
 
 def _scan_images(points, valid, height, width, theta_range):
-    """Per-scan projected images (unbatched; vmapped by the callers)."""
+    """Per-scan projected images (unbatched; lax.map'd by the callers)."""
     img = proj.spherical_projection(points[:, :4], valid, height, width,
                                     theta_range=theta_range)
     xyz = img[..., 0:3]
@@ -50,9 +50,13 @@ def _scan_images(points, valid, height, width, theta_range):
 
 
 def _batched_inputs(points, valid, height, width, theta_range, cfg):
-    r, refl, xyz, normals, flat = jax.vmap(
-        lambda p, v: _scan_images(p, v, height, width, theta_range)
-    )(points, valid)
+    # lax.map, NOT vmap: the projection's multi-key sort lowers ~3x worse
+    # per scan when batched (v5e bs4: 26.1 ms vmapped vs 8.2 sequential —
+    # tools/bench_serving.py history); the per-scan sorts are large enough
+    # to saturate the chip on their own, so sequencing them loses nothing
+    r, refl, xyz, normals, flat = jax.lax.map(
+        lambda pv: _scan_images(pv[0], pv[1], height, width, theta_range),
+        (points, valid))
     return registry.set_model_inputs(r, refl, xyz, normals, cfg), flat
 
 

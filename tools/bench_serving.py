@@ -66,20 +66,27 @@ def main():
         run = serve.make_batched_mc_segmenter(model, variables, cfg, H, W,
                                               MC_SAMPLES)
 
+        # Python-level serial chain: `run` may be the SPLIT two-executable
+        # pipeline (serve.make_batched_mc_segmenter docstring) — wrapping
+        # it in an outer jit would inline the stages back into one program
+        # and hit the Mosaic-custom-call stall. The dependency chain stays
+        # strict (next batch's points depend on this batch's outputs).
         @jax.jit
+        def _absorb(p, acc, labels, h, mi):
+            dep = (h.sum() + mi.sum()) * 1e-12
+            return p + dep.astype(p.dtype), acc + labels.sum()
+
         def chained(n):
-            def body(i, carry):
-                p, acc = carry
+            p, acc = points, jnp.int32(0)
+            for i in range(int(n)):
                 labels, seg, h, mi = run(p, valid,
                                          jax.random.fold_in(key, i))
-                dep = (h.sum() + mi.sum()) * 1e-12
-                return p + dep.astype(p.dtype), acc + labels.sum()
-            _, acc = jax.lax.fori_loop(0, n, body, (points, jnp.int32(0)))
+                p, acc = _absorb(p, acc, labels, h, mi)
             return acc
 
         def timed(n):
             t0 = time.perf_counter()
-            int(chained(jnp.asarray(n)))
+            int(chained(n))
             return time.perf_counter() - t0
 
         timed(1)
