@@ -86,6 +86,9 @@ class UpsampleBlock(nn.Module):
                             * self.features * 2)
             use_fused = (folded_bytes <= 64 * 1024 * 1024
                          and x.shape[1] * x.shape[2] >= 16384)
+        # phase_form/raw_affine callers consume the phase layout itself
+        # (the MC tail); they require the fused path regardless of policy
+        use_fused = use_fused or phase_form or raw_affine
 
         kernel = self.param(
             "Conv_0",

@@ -99,7 +99,7 @@ def test_ouster_replay_inference(tmp_path):
 
 def test_viz_panel_headless():
     from semanticlidarunc_tpu.utils import viz_panel as vp
-    panel = vp.VizPanel(create_window=False)
+    panel = vp.InspectionPanel(interactive=False)
     base = {"sem": np.zeros((8, 16, 3), np.uint8)}
     built = {"called": False}
 
@@ -107,10 +107,17 @@ def test_viz_panel_headless():
         built["called"] = True
         return np.ones((8, 16, 3), np.uint8)
 
-    panel.set_default_enabled({"H_norm": False})
-    out = panel.render_with_builders(base, {"H_norm": builder})
+    out = panel.frame(base, {"H_norm": builder})
     assert out.ndim == 3
-    assert not built["called"], "disabled layer builder must stay lazy"
-    panel.enabled["H_norm"] = True
-    panel.render_with_builders(base, {"H_norm": builder})
+    assert not built["called"], "off layer builder must stay lazy"
+    panel.deck.set("H_norm", True)
+    panel.frame(base, {"H_norm": builder})
     assert built["called"]
+    # sticky toggle survives re-registration, zoom keys clamp sanely
+    panel.handle_key(ord("+"))
+    panel.handle_key(ord("0"))
+    panel.frame(base, {"H_norm": builder})
+    assert panel.deck.is_on("H_norm")
+    # pruning drops stale layers
+    panel.frame({"other": np.zeros((4, 8, 3), np.uint8)})
+    assert panel.deck.names() == ["other"]
