@@ -20,7 +20,14 @@ def build_loaders(cfg, args_mode: str):
     from ..dataset import pipeline, readers
 
     tp = cfg["train_params"]
-    if str(cfg.get("dataset_dir", "")).lower() == "synthetic":
+    pairs_override = cfg.get("extras", {}).get("split_pairs")
+    if pairs_override is not None:
+        # explicit (train_pairs, test_pairs) — the leave-one-scene-out
+        # entry (train_semantic_thab.py) builds its own split
+        train_pairs, test_pairs = pairs_override
+        train_ds = readers.build_dataset(cfg, train_pairs, train=True)
+        test_ds = readers.build_dataset(cfg, test_pairs, train=False)
+    elif str(cfg.get("dataset_dir", "")).lower() == "synthetic":
         proj = tuple(cfg["model_settings"].get("projection", [32, 128]))
         train_ds = pipeline.SyntheticDataset(n_scans=8, projection=proj)
         test_ds = pipeline.SyntheticDataset(n_scans=4, projection=proj,
@@ -91,13 +98,21 @@ def main(args):
         # JAX_PLATFORMS env var, the config knob is always honored
         import jax
         jax.config.update("jax_platforms", args.platform)
-    from ..models import registry
-    from ..train.tester import Tester
-    from ..train.trainer import Trainer
     from ..utils import config as cfg_util
 
     cfg = cfg_util.load_config(args.cfg_path)
     cfg = cfg_util.with_extras(cfg)
+    return run_with_cfg(cfg, args)
+
+
+def run_with_cfg(cfg, args):
+    """Run train/test/calibrate from an already-built cfg (extras filled).
+    Shared by the reference-compatible YAML entry (`main`) and the
+    per-baseline THAB entry (`train_semantic_thab.py`)."""
+    from ..models import registry
+    from ..train.tester import Tester
+    from ..train.trainer import Trainer
+    from ..utils import config as cfg_util
 
     train_loader, test_loader = build_loaders(cfg, args.mode)
 

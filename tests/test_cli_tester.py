@@ -82,3 +82,54 @@ def test_config_yaml_files_parse():
         cfg = cfg_util.load_config(os.path.join(cfg_dir, name))
         cfg = cfg_util.with_extras(cfg)
         assert cfg["extras"]["num_classes"] in (20, 21, 22), name
+
+
+def test_thab_split_leave_one_out(tmp_path):
+    """Leave-one-scene-out split semantics of the baseline THAB entry
+    (reference train_semantic_THAB.py:46-53)."""
+    from semanticlidarunc_tpu.cli.train_semantic_thab import build_thab_split
+
+    seq = tmp_path / "sequences"
+    for i in range(4):
+        d = seq / f"{i:04}" / "velodyne"
+        d.mkdir(parents=True)
+        for j in range(2):
+            (d / f"{j:06}.bin").write_bytes(b"")
+
+    train, test = build_thab_split(str(tmp_path), test_id=2)
+    assert len(train) == 6 and len(test) == 2
+    assert all("/0002/" not in b for b, _ in train)
+    assert all("/0002/" in b for b, _ in test)
+    assert all(l.endswith(".label") and "labels" in l for _, l in train)
+
+    # -1: train on ALL scenes, test on scene 2 (reference's `i == 2` pick)
+    train_all, test_all = build_thab_split(str(tmp_path), test_id=-1)
+    assert len(train_all) == 8 and test_all == test
+
+
+def test_thab_entry_smoke(tmp_path):
+    """The per-baseline THAB entry trains+tests CENet through the unified
+    Trainer on the synthetic dataset."""
+    from semanticlidarunc_tpu.cli import train_semantic_thab as tt
+
+    args = tt.parse_args([
+        "--dataset_dir", "synthetic", "--model_type", "ResNet_34",
+        "--num_epochs", "1", "--batch_size", "2", "--projection", "32", "64", "--test_id", "6", "--log_dir", str(tmp_path),
+        "--with_logging", "true"])
+    # scene-6 mask applied (reference train_semantic_THAB.py:57-58)
+    cfg = tt.build_cfg(args)
+    n = cfg["extras"]["num_classes"]
+    assert cfg["extras"]["test_mask"][:4] == [0, 1, 0, 0]
+    assert len(cfg["extras"]["test_mask"]) == n
+    assert cfg["model_settings"]["loss_function"] == "Tversky"
+    assert "split_pairs" not in cfg["extras"]
+
+    tt.main(["--dataset_dir", "synthetic", "--model_type", "ResNet_34",
+             "--num_epochs", "1", "--batch_size", "2", "--projection",
+             "32", "64", "--log_dir", str(tmp_path),
+             "--with_logging", "true"])
+    finals = []
+    for dirpath, dirnames, _ in os.walk(str(tmp_path)):
+        finals += [os.path.join(dirpath, d) for d in dirnames
+                   if d == "model_final"]
+    assert finals, "no final checkpoint written"

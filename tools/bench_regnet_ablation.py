@@ -96,6 +96,23 @@ def measure(model_type, variant):
                 out = model.apply(variables, x + eps, meta, train=False,
                                   method=model.features)
                 return out.astype(jnp.float32).mean()
+        elif variant == "trunk":
+            from semanticlidarunc_tpu.models.fpn import resize_nearest
+
+            def trunk_only(m, xx, mm):
+                if m.multi_scale_meta:
+                    metas = [resize_nearest(mm, 0.5),
+                             resize_nearest(mm, 0.25),
+                             resize_nearest(mm, 0.125)]
+                else:
+                    metas = None
+                x_in = jnp.concatenate([xx, mm], axis=-1).astype(m.dtype)
+                feats = m.trunk(x_in, metas, train=False)
+                return sum(f.astype(jnp.float32).mean() for f in feats)
+
+            def step(eps):
+                return model.apply(variables, x + eps, meta,
+                                   method=trunk_only)
         else:
             def step(eps):
                 out = model.apply(variables, x + eps, meta, train=False,
