@@ -233,21 +233,39 @@ def _merged_group_count(width: int, groups: int, target: int = 128) -> int:
     return best
 
 
-def grouped_conv_merged(x, kernel, groups: int, stride: int, dtype):
-    """Grouped 3x3 conv via block-diagonal merged groups — function-
-    identical to feature_group_count=groups (the embedded positions are
-    exact zeros), but with MXU-sized per-group widths.
+# bf16 bytes of the largest grouped kernel we embed fully dense (all the
+# shipped regnet widths qualify; tests shrink it to cover the fallbacks)
+_DENSE_EMBED_MAX_BYTES = 64 * 1024 * 1024
 
-    When no divisor of `groups` reaches the target lane width, the group
-    axis is PADDED with inert zero groups (zero kernel rows and zero input
-    channels, output slice dropped) so ⌈groups/k⌉ blocks of k groups hit
-    ~128 lanes anyway — regnet_y_3_2gf's 63-group stage-4 conv merges
-    21x72-wide by divisors but 13x120-wide padded (measured on v5e, see
-    docs/baselines.md)."""
+
+def grouped_conv_merged(x, kernel, groups: int, stride: int, dtype):
+    """Grouped 3x3 conv via block-diagonal embedding — function-identical
+    to feature_group_count=groups (the embedded positions are exact
+    zeros), lowered as a plain DENSE convolution.
+
+    XLA's feature_group_count lowering is the bottleneck, not the MACs:
+    at regnet_y_800mf's stage-2 shape ([1,32,512,144] bf16, 9 groups of
+    16) the identical-shape dense conv runs 0.155 ms vs 0.52 ms for the
+    128-lane merged-group form and 1.04 ms naive grouped
+    (tools/bench_regnet_ops.py, v5e). The extra MACs of a full dense
+    embedding are FLOP-trivial at these widths (<=1512), so the kernel is
+    embedded all the way to one dense block-diagonal conv whenever it
+    stays under 64 MB; beyond that the previous ~128-lane merged-group
+    form is kept: divisor merge, or zero-group padding when no divisor
+    reaches the lane target (regnet_y_3_2gf's prime-count stages)."""
     import jax
 
     kh, kw, gw, width = kernel.shape
     opg = width // groups
+    if kh * kw * width * width * 2 <= _DENSE_EMBED_MAX_BYTES:
+        kr = kernel.reshape(kh, kw, gw, groups, opg)
+        eye = jnp.eye(groups, dtype=kernel.dtype)
+        kdense = jnp.einsum("xyilc,ml->xymilc", kr, eye).reshape(
+            kh, kw, width, width)
+        return jax.lax.conv_general_dilated(
+            x.astype(dtype), kdense.astype(dtype), (stride, stride),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
     g_div = _merged_group_count(width, groups)
     k_pad = max(1, 128 // gw)
     if k_pad > 1 and groups % k_pad and k_pad * gw > width // g_div:

@@ -119,24 +119,30 @@ def test_registry_builds_from_config():
     assert inputs[0].shape[-1] == 2 and inputs[1].shape[-1] == 6
 
 
-def test_grouped_conv_merged_padded_equivalence():
-    """regnet_y_3_2gf-style group counts with no 128-lane divisor take the
-    padded merge path (inert zero groups); must equal the direct grouped
-    conv. Also cover a divisor-merge case and stride 2."""
+def test_grouped_conv_merged_padded_equivalence(monkeypatch):
+    """All three lowerings of the grouped conv must equal the direct
+    feature_group_count conv: the default dense block-diagonal embedding,
+    and (with the dense-size cap shrunk to 0) the ~128-lane divisor merge
+    and the padded merge for prime-style group counts (regnet_y_3_2gf)."""
+    from semanticlidarunc_tpu.models import backbones
     from semanticlidarunc_tpu.models.backbones import grouped_conv_merged
 
     rng = np.random.default_rng(0)
-    for groups, gw, stride in ((63, 4, 1), (63, 4, 2), (20, 16, 1),
-                               (24, 4, 1)):
-        width = groups * gw
-        x = jnp.asarray(rng.standard_normal(
-            (1, 4, 6, width)).astype(np.float32))
-        k = jnp.asarray((rng.standard_normal(
-            (3, 3, gw, width)) * 0.1).astype(np.float32))
-        got = grouped_conv_merged(x, k, groups, stride, jnp.float32)
-        want = jax.lax.conv_general_dilated(
-            x, k, (stride, stride), padding=((1, 1), (1, 1)),
-            feature_group_count=groups,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   rtol=0, atol=1e-4)
+    for dense_cap in (None, 0):
+        if dense_cap is not None:
+            monkeypatch.setattr(backbones, "_DENSE_EMBED_MAX_BYTES",
+                                dense_cap)
+        for groups, gw, stride in ((63, 4, 1), (63, 4, 2), (20, 16, 1),
+                                   (24, 4, 1)):
+            width = groups * gw
+            x = jnp.asarray(rng.standard_normal(
+                (1, 4, 6, width)).astype(np.float32))
+            k = jnp.asarray((rng.standard_normal(
+                (3, 3, gw, width)) * 0.1).astype(np.float32))
+            got = grouped_conv_merged(x, k, groups, stride, jnp.float32)
+            want = jax.lax.conv_general_dilated(
+                x, k, (stride, stride), padding=((1, 1), (1, 1)),
+                feature_group_count=groups,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=0, atol=1e-4)
