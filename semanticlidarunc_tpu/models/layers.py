@@ -16,6 +16,17 @@ import jax.numpy as jnp
 
 Dtype = Any
 
+# UpsampleBlock "auto" policy cutoffs (see its docstring); module-level so
+# measurement tools can A/B them. Scale>=4 blocks amortize the fused form's
+# border-strip fixed cost over 16x phase outputs, so they tolerate a 4x
+# smaller low-res grid (v5e A/B at 128x2048: every shufflenet improved with
+# its 4096-px scale-4 blocks fused — x0_5 5.3->4.9 ms, x1_0 7.5->6.9,
+# x1_5 10.6->9.6 — while the flagship's 64x2048 blocks, all scale-2-at-
+# 8192px or scale-4-below-4096px, keep their measured resize optimum).
+_FUSED_MAX_FOLDED_BYTES = 64 * 1024 * 1024
+_FUSED_MIN_GRID_PX = 16384
+_FUSED_MIN_GRID_PX_S4 = 4096
+
 
 def gn_groups(channels: int, groups: int = 32) -> int:
     g = min(groups, channels)
@@ -84,8 +95,11 @@ class UpsampleBlock(nn.Module):
             # separates on (64 MB, 16384 px)
             folded_bytes = (9 * x.shape[-1] * self.scale ** 2
                             * self.features * 2)
-            use_fused = (folded_bytes <= 64 * 1024 * 1024
-                         and x.shape[1] * x.shape[2] >= 16384)
+            grid_px = x.shape[1] * x.shape[2]
+            min_grid = (_FUSED_MIN_GRID_PX_S4 if self.scale >= 4
+                        else _FUSED_MIN_GRID_PX)
+            use_fused = (folded_bytes <= _FUSED_MAX_FOLDED_BYTES
+                         and grid_px >= min_grid)
         # phase_form/raw_affine callers consume the phase layout itself
         # (the MC tail); they require the fused path regardless of policy
         use_fused = use_fused or phase_form or raw_affine

@@ -35,8 +35,18 @@ REFERENCE = {
 
 
 def bench_one(model_type: str) -> float:
-    from semanticlidarunc_tpu.models import registry
+    import os
+
+    from semanticlidarunc_tpu.models import layers, registry
     from semanticlidarunc_tpu.utils import config as cfg_util
+
+    # A/B knobs for the UpsampleBlock auto policy (see layers.py)
+    if os.environ.get("SLU_FUSED_MIN_GRID_PX"):
+        layers._FUSED_MIN_GRID_PX = int(
+            os.environ["SLU_FUSED_MIN_GRID_PX"])
+    if os.environ.get("SLU_FUSED_MAX_FOLDED_BYTES"):
+        layers._FUSED_MAX_FOLDED_BYTES = int(
+            os.environ["SLU_FUSED_MAX_FOLDED_BYTES"])
 
     cfg = cfg_util.with_extras({
         "dataset_name": "SemanticKitti",
