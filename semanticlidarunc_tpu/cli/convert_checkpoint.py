@@ -5,6 +5,10 @@ Usage:
       --torch_ckpt model_final.pt --backbone resnet50 --num_classes 21 \
       --out converted_ckpt [--input_channels 2 --meta_channels 6]
 
+Covers every model family the reference can train: Reichert FPN (all 15
+backbones, default), and via --baseline: SalsaNext, CENet (--model_type
+HarDNet | ResNet_34) and FIDNet.
+
 The output directory loads via `model_settings.pretrained` / the Tester.
 Forward parity of converted models is covered by tests/test_torch_parity.py.
 """
@@ -18,31 +22,63 @@ def main(args):
     import jax.numpy as jnp
     import numpy as np
 
-    from ..models.fpn import SemanticFPN
     from ..train import checkpoint as ckpt
-    from ..utils.torch_convert import (apply_converted,
-                                       convert_reichert_state_dict)
+    from ..utils.torch_convert import apply_converted
 
     import torch
 
     sd = torch.load(args.torch_ckpt, map_location="cpu", weights_only=True)
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
-    sd = {k.removeprefix("module.").removeprefix("model."):
+    sd = {k.removeprefix("module."):
           v.numpy() if hasattr(v, "numpy") else np.asarray(v)
           for k, v in sd.items()}
 
-    model = SemanticFPN(num_classes=args.num_classes,
-                        backbone=args.backbone,
-                        input_channels=args.input_channels,
-                        meta_channels=args.meta_channels)
     key = jax.random.PRNGKey(0)
-    x = jnp.zeros((1, 64, 128, args.input_channels))
-    meta = jnp.zeros((1, 64, 128, args.meta_channels))
-    variables = model.init({"params": key, "dropout": key}, x, meta,
-                           train=False)
-    converted = convert_reichert_state_dict(sd, args.backbone,
-                                            args.num_classes)
+    if args.baseline == "Reichert":
+        from ..models.fpn import SemanticFPN
+        from ..utils.torch_convert import convert_reichert_state_dict
+        # the reference Reichert checkpoints are bare state_dicts; strip a
+        # "model." wrapper if one is present (utils/weights.py:57 analog)
+        sd = {k.removeprefix("model."): v for k, v in sd.items()}
+        model = SemanticFPN(num_classes=args.num_classes,
+                            backbone=args.backbone,
+                            input_channels=args.input_channels,
+                            meta_channels=args.meta_channels)
+        x = jnp.zeros((1, 64, 128, args.input_channels))
+        meta = jnp.zeros((1, 64, 128, args.meta_channels))
+        variables = model.init({"params": key, "dropout": key}, x, meta,
+                               train=False)
+        converted = convert_reichert_state_dict(sd, args.backbone,
+                                                args.num_classes)
+    else:
+        x = jnp.zeros((1, 64, 128, 5))
+        if args.baseline == "SalsaNext":
+            from ..models.salsanext import SalsaNext
+            from ..utils.salsanext_convert import (
+                convert_salsanext_state_dict)
+            sd = {k.removeprefix("model."): v for k, v in sd.items()}
+            model = SalsaNext(num_classes=args.num_classes)
+            converted = convert_salsanext_state_dict(sd)
+        elif args.baseline == "CENet":
+            from ..models.cenet import CENet
+            from ..utils.baseline_convert import (
+                convert_cenet_hardnet_state_dict,
+                convert_cenet_resnet34_state_dict)
+            trunk = args.model_type if args.model_type in (
+                "HarDNet", "ResNet_34") else "HarDNet"
+            model = CENet(num_classes=args.num_classes, aux=True,
+                          model=trunk)
+            converted = (convert_cenet_hardnet_state_dict(sd)
+                         if trunk == "HarDNet"
+                         else convert_cenet_resnet34_state_dict(sd))
+        else:  # FIDNet
+            from ..models.fidnet import FIDNet
+            from ..utils.baseline_convert import convert_fidnet_state_dict
+            model = FIDNet(num_classes=args.num_classes)
+            converted = convert_fidnet_state_dict(sd)
+        variables = model.init({"params": key, "dropout": key}, x,
+                               train=False)
     variables, missing = apply_converted(variables, converted)
     if missing:
         print(f"WARNING: {len(missing)} leaves kept from fresh init:")
@@ -56,6 +92,10 @@ def main(args):
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="torch -> orbax converter")
     p.add_argument("--torch_ckpt", required=True)
+    p.add_argument("--baseline", default="Reichert",
+                   choices=["Reichert", "SalsaNext", "CENet", "FIDNet"])
+    p.add_argument("--model_type", default="HarDNet",
+                   help="CENet trunk: HarDNet | ResNet_34")
     p.add_argument("--backbone", default="resnet50",
                    choices=["resnet18", "resnet34", "resnet50",
                             "shufflenet_v2_x0_5", "shufflenet_v2_x1_0",

@@ -727,3 +727,135 @@ def test_forward_parity_squeezenet_vs_torch_oracle():
         7, bb, base=[512, 384, 256, 256, 112], scales=(4, 2, 2),
         mode="squeeze")
     _parity_check(oracle, "squeezenet1_0")
+
+
+def _import_reference_module(subdir, module):
+    """Import a torch-only reference baseline module as a parity oracle."""
+    import importlib
+    import os
+    import sys
+
+    ref_dir = f"/root/reference/src/baselines/{subdir}"
+    if not os.path.isdir(ref_dir):
+        pytest.skip("reference tree not mounted")
+    sys.path.insert(0, ref_dir)
+    try:
+        return importlib.import_module(module)
+    finally:
+        sys.path.remove(ref_dir)
+
+
+def _randomize_bn_stats(ref):
+    for mod in ref.modules():
+        if isinstance(mod, nn.BatchNorm2d):
+            mod.running_mean.normal_(0, 0.5)
+            mod.running_var.uniform_(0.5, 2.0)
+
+
+def _assert_baseline_parity(ref, flax_model, convert_fn, n_outputs):
+    """Random-init reference module (eval, randomized BN stats) vs the flax
+    model through the converter, on a (1,32,64,5) input."""
+    import jax
+    import jax.numpy as jnp
+
+    from semanticlidarunc_tpu.utils.torch_convert import apply_converted
+
+    ref.eval()
+    _randomize_bn_stats(ref)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    key = jax.random.PRNGKey(0)
+    x_np = np.random.default_rng(7).standard_normal(
+        (1, 32, 64, 5)).astype(np.float32)
+    variables = flax_model.init({"params": key, "dropout": key},
+                                jnp.asarray(x_np), train=False)
+    variables, missing = apply_converted(variables, convert_fn(sd))
+    assert not missing, f"unconverted leaves: {missing[:8]}"
+
+    got = flax_model.apply(variables, jnp.asarray(x_np), train=False,
+                           stochastic=False)
+    got = [np.asarray(g) for g in (got if isinstance(got, (list, tuple))
+                                   else [got])]
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x_np.transpose(0, 3, 1, 2)))
+    want = [w.permute(0, 2, 3, 1).numpy()
+            for w in (want if isinstance(want, (list, tuple)) else [want])]
+    assert len(got) == len(want) == n_outputs
+    for i, (g, w) in enumerate(zip(got, want)):
+        diff = np.abs(g - w)
+        assert diff.max() < 5e-3, (
+            f"output {i} mismatch: max {diff.max():.5f} "
+            f"mean {diff.mean():.6f}")
+
+
+def test_cenet_hardnet_forward_parity_vs_reference_code():
+    """DIRECT parity vs the actual reference CENet HarDNet (CENet.py:7-26,
+    CENet_HardDNet.py), weights via utils.baseline_convert."""
+    from semanticlidarunc_tpu.models.cenet import CENet
+    from semanticlidarunc_tpu.utils.baseline_convert import (
+        convert_cenet_hardnet_state_dict)
+
+    ref_mod = _import_reference_module("CENet", "CENet")
+    torch.manual_seed(0)
+    ref = ref_mod.CENet(6, aux=True, model="HarDNet")
+    _assert_baseline_parity(ref, CENet(6, aux=True, model="HarDNet"),
+                            convert_cenet_hardnet_state_dict, n_outputs=4)
+
+
+def test_cenet_resnet34_forward_parity_vs_reference_code():
+    """DIRECT parity vs the actual reference CENet ResNet_34
+    (CENet_ResNet34.py:91-196), weights via utils.baseline_convert."""
+    from semanticlidarunc_tpu.models.cenet import CENet
+    from semanticlidarunc_tpu.utils.baseline_convert import (
+        convert_cenet_resnet34_state_dict)
+
+    ref_mod = _import_reference_module("CENet", "CENet")
+    torch.manual_seed(1)
+    ref = ref_mod.CENet(6, aux=True, model="ResNet_34")
+    _assert_baseline_parity(ref, CENet(6, aux=True, model="ResNet_34"),
+                            convert_cenet_resnet34_state_dict, n_outputs=4)
+
+
+def test_fidnet_forward_parity_vs_reference_code():
+    """DIRECT parity vs the actual reference FIDNet (default ResNet34_aspp_1
+    variant, FIDNet.py:21-41), weights via utils.baseline_convert."""
+    from semanticlidarunc_tpu.models.fidnet import FIDNet
+    from semanticlidarunc_tpu.utils.baseline_convert import (
+        convert_fidnet_state_dict)
+
+    ref_mod = _import_reference_module("FIDNet", "FIDNet")
+    torch.manual_seed(2)
+    ref = ref_mod.FIDNet(6)
+    _assert_baseline_parity(ref, FIDNet(6), convert_fidnet_state_dict,
+                            n_outputs=1)
+
+
+def test_convert_checkpoint_cli_baseline_roundtrip(tmp_path):
+    """The converter CLI handles --baseline CENet end to end: torch ckpt ->
+    orbax dir -> restored variables run the flax forward."""
+    import jax.numpy as jnp
+
+    from semanticlidarunc_tpu.cli import convert_checkpoint as cc
+    from semanticlidarunc_tpu.models.cenet import CENet
+    from semanticlidarunc_tpu.train import checkpoint as ckpt
+
+    ref_mod = _import_reference_module("CENet", "CENet")
+    torch.manual_seed(3)
+    ref = ref_mod.CENet(6, aux=True, model="HarDNet")
+    pt = tmp_path / "model_final.pt"
+    torch.save(ref.state_dict(), pt)
+
+    out = tmp_path / "converted"
+    cc.main(cc.parse_args([
+        "--torch_ckpt", str(pt), "--baseline", "CENet",
+        "--model_type", "HarDNet", "--num_classes", "6",
+        "--out", str(out)]))
+
+    restored = ckpt.restore_checkpoint(str(out))
+    variables = restored["variables"]
+    m = CENet(6, aux=True, model="HarDNet")
+    outs = m.apply(variables, jnp.zeros((1, 32, 64, 5)), train=False,
+                   stochastic=False)
+    assert len(outs) == 4 and outs[0].shape == (1, 32, 64, 6)
+    # CENet emits softmax probs (reference CENet_HardDNet.py:318)
+    np.testing.assert_allclose(np.asarray(outs[0]).sum(-1), 1.0, atol=1e-4)
