@@ -14,6 +14,7 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Dtype = Any
 
@@ -22,29 +23,43 @@ def _leaky(x):
     return nn.leaky_relu(x, negative_slope=0.01)
 
 
+def _resize_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) align-corners bilinear interpolation matrix: each row
+    holds the <=2 taps of torch F.interpolate(align_corners=True)."""
+    if n_out == 1 or n_in == 1:
+        t = np.zeros((n_out,), np.float64)
+    else:
+        t = np.linspace(0.0, n_in - 1.0, n_out)
+    i0 = np.clip(np.floor(t).astype(np.int64), 0, n_in - 1)
+    i1 = np.minimum(i0 + 1, n_in - 1)
+    w1 = (t - i0).astype(np.float32)
+    r = np.zeros((n_out, n_in), np.float32)
+    np.add.at(r, (np.arange(n_out), i0), 1.0 - w1)
+    np.add.at(r, (np.arange(n_out), i1), w1)
+    return r
+
+
 def resize_align_corners(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """Bilinear resize with torch align_corners=True semantics (corner pixels
-    map exactly; jax.image.resize only offers half-pixel centers)."""
+    map exactly; jax.image.resize only offers half-pixel centers).
+
+    TPU-first formulation: a separable pair of dense matmuls against
+    compile-time-constant interpolation matrices (2 taps/row). Gathers at
+    128x2048 full resolution serialize on TPU; the matmul form rides the
+    MXU instead — the extra MACs over a 2-tap gather are FLOP-trivial
+    next to the convs that consume the result.
+    """
     b, h, w, c = x.shape
     if h == out_h and w == out_w:
         return x
-
-    def grid(n_in, n_out):
-        if n_out == 1 or n_in == 1:
-            return jnp.zeros((n_out,), jnp.float32)
-        return jnp.linspace(0.0, n_in - 1.0, n_out)
-
-    ys = grid(h, out_h)
-    xs = grid(w, out_w)
-    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
-    y1 = jnp.clip(y0 + 1, 0, h - 1)
-    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
-    x1 = jnp.clip(x0 + 1, 0, w - 1)
-    wy = (ys - y0.astype(jnp.float32))[None, :, None, None].astype(x.dtype)
-    wx = (xs - x0.astype(jnp.float32))[None, None, :, None].astype(x.dtype)
-    top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
-    bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
-    return top * (1 - wy) + bot * wy
+    out = x
+    if h != out_h:
+        ry = jnp.asarray(_resize_matrix(h, out_h), x.dtype)
+        out = jnp.einsum("oh,bhwc->bowc", ry, out)
+    if w != out_w:
+        rx = jnp.asarray(_resize_matrix(w, out_w), x.dtype)
+        out = jnp.einsum("pw,bhwc->bhpc", rx, out)
+    return out
 
 
 class BasicConv(nn.Module):
