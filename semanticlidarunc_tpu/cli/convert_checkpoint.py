@@ -65,8 +65,7 @@ def main(args):
             from ..utils.baseline_convert import (
                 convert_cenet_hardnet_state_dict,
                 convert_cenet_resnet34_state_dict)
-            trunk = args.model_type if args.model_type in (
-                "HarDNet", "ResNet_34") else "HarDNet"
+            trunk = args.model_type
             model = CENet(num_classes=args.num_classes, aux=True,
                           model=trunk)
             converted = (convert_cenet_hardnet_state_dict(sd)
@@ -95,7 +94,8 @@ def parse_args(argv=None):
     p.add_argument("--baseline", default="Reichert",
                    choices=["Reichert", "SalsaNext", "CENet", "FIDNet"])
     p.add_argument("--model_type", default="HarDNet",
-                   help="CENet trunk: HarDNet | ResNet_34")
+                   choices=["HarDNet", "ResNet_34"],
+                   help="CENet trunk")
     p.add_argument("--backbone", default="resnet50",
                    choices=["resnet18", "resnet34", "resnet50",
                             "shufflenet_v2_x0_5", "shufflenet_v2_x1_0",

@@ -19,6 +19,10 @@ from typing import Callable, Dict, Iterable
 import jax
 import jax.numpy as jnp
 
+# Grad-norm measurement cadence (steps between balancer updates); single
+# source of truth — the Trainer reads this (reference trainer.py:604 `do_eq`).
+EQ_INTERVAL = 10
+
 
 # ---------------------------------------------------------------------------
 # on-device per-term gradient norms

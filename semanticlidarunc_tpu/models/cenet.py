@@ -52,13 +52,17 @@ def resize_align_corners(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     b, h, w, c = x.shape
     if h == out_h and w == out_w:
         return x
+    # In f32, keep the 2-tap interpolation exact: default matmul precision on
+    # TPU runs einsum operands through bf16 passes (~2^-8 relative rounding).
+    # bf16 inference keeps the fast default path.
+    prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None)
     out = x
     if h != out_h:
         ry = jnp.asarray(_resize_matrix(h, out_h), x.dtype)
-        out = jnp.einsum("oh,bhwc->bowc", ry, out)
+        out = jnp.einsum("oh,bhwc->bowc", ry, out, precision=prec)
     if w != out_w:
         rx = jnp.asarray(_resize_matrix(w, out_w), x.dtype)
-        out = jnp.einsum("pw,bhwc->bhpc", rx, out)
+        out = jnp.einsum("pw,bhwc->bhpc", rx, out, precision=prec)
     return out
 
 

@@ -379,7 +379,7 @@ def mc_megatail(y1, params: dict, wl, bl, interpret: bool = False,
                           rg, t, flat),
         grid=(b, t),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),          # y1
+            pl.BlockSpec(memory_space=pl.ANY),             # y1
             full((3, 3 * c1, c2)), full((3, 3 * c2, pc)),
             full((3, 3, c2, cout)),
             full((1, c1)), full((1, c1)), full((1, c2)), full((1, c2)),

@@ -187,7 +187,7 @@ def _conv_stage_call(z, wu, a, b, slabs, pc, zero_pad, interpret, rows):
                           with_affine),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),              # z (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),                 # z (HBM)
             pl.BlockSpec((3, 3 * c, pc), lambda tb_, ci: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + affine_specs + border_specs,

@@ -42,7 +42,7 @@ from ..prob import mc_dropout as mc
 from ..prob import prior
 from ..utils import config as cfg_util
 from . import checkpoint as ckpt
-from .schedules import warmup_cosine
+from .schedules import warmup_cosine, warmup_cosine_host
 
 
 class TrainState(flax_train_state.TrainState):
@@ -86,7 +86,12 @@ class Trainer:
         # changed) at any time — including after the first eval trace
         self.temperature: float | None = None
         self.total_train_steps = total_train_steps or 1
-        self.eq_interval = 10
+        self.eq_interval = bal.EQ_INTERVAL
+        # jitted per-term grad-norm probe; built in create_state for
+        # Dirichlet/SalsaNext losses, stays None otherwise
+        self._gradnorm_fn = None
+        # host LR mirror, set in create_state (per-iteration TB logging)
+        self._lr_at = None
         # entropy-error IoU threshold sweep (reference :389-421)
         self.ee_thresholds = jnp.linspace(0.0, 1.0, 21)
 
@@ -319,8 +324,6 @@ class Trainer:
                                        train=True, rng=rng)
             return self._loss_terms(outputs, batch["labels"])
 
-        self._gradnorm_fn = None
-
         def metric_stats(evalu, labels, h_norm, mi_norm, conf, mode, rng,
                          with_mcrel):
             """All streaming eval statistics from the per-pixel predictive
@@ -544,6 +547,10 @@ class Trainer:
         self.total_train_steps = total_steps
         schedule = warmup_cosine(base_lr, eta_min,
                                  warmup_epochs * steps_per_epoch, total_steps)
+        # host mirror for per-iteration TB logging (reference
+        # trainer.py:807-808 logs the LambdaLR value every batch)
+        self._lr_at = warmup_cosine_host(
+            base_lr, eta_min, warmup_epochs * steps_per_epoch, total_steps)
         tx = optax.adamw(schedule,
                          weight_decay=float(tp.get("weight_decay", 1e-4)))
 
@@ -679,6 +686,12 @@ class Trainer:
                 self._schedule_dirichlet_weights()
             state, metrics = self._train_step(state, batch,
                                               self._weights_vec(), step_rng)
+            if self.writer and self._lr_at is not None:
+                # per-iteration LR (reference trainer.py:807-808); pure host
+                # math, no device sync
+                self.writer.add_scalar("train/learning_rate",
+                                       self._lr_at(self.global_step),
+                                       self.global_step)
             dev_loss = metrics["loss"] if dev_loss is None \
                 else dev_loss + metrics["loss"]
             step_losses.append(metrics["loss"])
@@ -743,10 +756,18 @@ class Trainer:
             agg.reset()
         n = 0
         acc = None
+        batch_ms = []   # per-batch wall time for the median-inference scalar
         for batch in loader:
             self.rng, eval_rng = jax.random.split(self.rng)
+            t0 = time.perf_counter()
             out = self.eval_batch(state.params, state.batch_stats, batch,
                                   eval_rng, self.temp_scalar())
+            if self.writer:
+                # sync only in logging mode: the reference pays a per-batch
+                # sync to record "Inference Time" (trainer.py:1245); without
+                # a writer we keep the async dispatch pipeline
+                jax.block_until_ready(out)
+                batch_ms.append((time.perf_counter() - t0) * 1e3)
             acc = out if acc is None else jax.tree_util.tree_map(
                 lambda a, b: a + b, acc, out)
             n += 1
@@ -777,6 +798,10 @@ class Trainer:
                 inter, union, out=np.zeros_like(np.asarray(inter)),
                 where=np.asarray(union) > 0)
         if self.writer:
+            if batch_ms:
+                # eval-epoch median inference time (reference trainer.py:1245)
+                self.writer.add_scalar("test/inference_time_ms",
+                                       float(np.median(batch_ms)), epoch)
             for k in ("mIoU", "ECE", "MCE", "AUROC", "AUROC_MI", "AURC",
                       "entropy_ECE"):
                 v = stats.get(k)
