@@ -859,3 +859,163 @@ def test_convert_checkpoint_cli_baseline_roundtrip(tmp_path):
     assert len(outs) == 4 and outs[0].shape == (1, 32, 64, 6)
     # CENet emits softmax probs (reference CENet_HardDNet.py:318)
     np.testing.assert_allclose(np.asarray(outs[0]).sum(-1), 1.0, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# MC-dropout parity vs the reference's actual mc_forward pipeline
+# (/root/reference/src/utils/mc_dropout.py:55-133), matched dropout masks
+# ---------------------------------------------------------------------------
+
+class _StreamDropout2d(nn.Dropout2d):
+    """Dropout2d that consumes a fixed stream of channel masks (pre-scaled by
+    1/(1-p)) — but only in train mode, so the reference's dropout_sampling /
+    set_dropout_mode machinery (mc_dropout.py:13-34) is exercised for real:
+    isinstance(nn.Dropout2d) -> flipped to train for sampling, restored
+    after."""
+
+    def __init__(self, p, masks):
+        super().__init__(p)
+        self._masks = [torch.from_numpy(m) for m in masks]
+        self._i = 0
+
+    def forward(self, x):
+        if not self.training:
+            return x
+        m = self._masks[self._i % len(self._masks)]
+        self._i += 1
+        return x * m
+
+    def reset(self):
+        self._i = 0
+
+
+class _McReichertOracle(TorchReichertOracle):
+    """TorchReichertOracle + the reference's pyramid Dropout2d(0.1) — the one
+    and only dropout in the Reichert net (semanticFCN_opt.py:266,450) and
+    therefore the entire MC-dropout noise source."""
+
+    def __init__(self, num_classes, masks):
+        super().__init__(num_classes)
+        self.dropout = _StreamDropout2d(0.1, masks)
+
+    def forward(self, x, meta):
+        m1 = F.interpolate(meta, scale_factor=0.5, mode="nearest")
+        m2 = F.interpolate(meta, scale_factor=0.25, mode="nearest")
+        m3 = F.interpolate(meta, scale_factor=0.125, mode="nearest")
+        d = self.meta_dim
+        x = torch.cat([x, meta], 1)
+        xs = self.backbone.maxpool(F.relu(self.backbone.conv1(x)))
+        x1 = self.backbone.layer1(xs)
+        x2 = self.backbone.layer2(torch.cat([x1[:, :-d], m1], 1))
+        x3 = self.backbone.layer3(torch.cat([x2[:, :-d], m2], 1))
+        x4 = self.backbone.layer4(torch.cat([x3[:, :-d], m3], 1))
+        x4 = self.attention4(self.fpn_block4(x4))
+        x3 = self.attention3(self.fpn_block3(x3))
+        x2 = self.attention2(self.fpn_block2(x2))
+        x1 = self.attention1(self.fpn_block1(x1))
+        x4 = self.upsample_layer_x4(x4)
+        x3 = self.upsample_layer_x3(x3)
+        x2 = self.upsample_layer_x2(x2)
+        fused = self.dropout(torch.cat([x1, x2, x3, x4], 1))
+        return self.decoder_semantic(fused)
+
+
+def _import_reference_mc_dropout():
+    import importlib
+    import os
+    import sys
+
+    ref_src = "/root/reference/src"
+    if not os.path.isdir(ref_src):
+        pytest.skip("reference tree not mounted")
+    sys.path.insert(0, ref_src)
+    try:
+        return importlib.import_module("utils.mc_dropout")
+    finally:
+        sys.path.remove(ref_src)
+
+
+def test_mc_dropout_parity_vs_reference_mc_forward():
+    """The driver's headline config is MC-dropout eval; this leg proves the
+    T-sample pipeline end to end against the reference's ACTUAL
+    `mc_forward` / `mc_dropout_probs` / `predictive_entropy_mc`
+    (mc_dropout.py:55-133) on converted weights with IDENTICAL per-sample
+    dropout masks: per-sample logits, p-bar, normalized H, and MI all match.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from semanticlidarunc_tpu.models.fpn import SemanticFPN
+    from semanticlidarunc_tpu.prob.mc_dropout import mc_summaries
+    from semanticlidarunc_tpu.utils.torch_convert import (
+        apply_converted, convert_reichert_state_dict)
+
+    ref_mc = _import_reference_mc_dropout()
+
+    t_samples, nc, h, w = 6, 7, 32, 64
+    cat_ch = 256 // 8 + 128 // 4 + 64 // 2 + 32  # fused pyramid channels
+    rng = np.random.default_rng(11)
+    p_drop = 0.1
+    masks = (rng.random((t_samples, 1, cat_ch, 1, 1)) >= p_drop
+             ).astype(np.float32) / (1.0 - p_drop)
+
+    torch.manual_seed(4)
+    oracle = _McReichertOracle(nc, masks=list(masks))
+    oracle.eval()
+    for mod in oracle.modules():
+        if isinstance(mod, nn.BatchNorm2d):
+            mod.running_mean.normal_(0, 0.5)
+            mod.running_var.uniform_(0.5, 2.0)
+    sd = {k: v.detach().numpy() for k, v in oracle.state_dict().items()
+          if not k.startswith("dropout.")}
+
+    x_np = rng.standard_normal((1, h, w, 2)).astype(np.float32)
+    meta_np = rng.standard_normal((1, h, w, 6)).astype(np.float32)
+
+    m = SemanticFPN(num_classes=nc, backbone="resnet18", input_channels=2,
+                    meta_channels=6)
+    key = jax.random.PRNGKey(0)
+    variables = m.init({"params": key, "dropout": key}, jnp.asarray(x_np),
+                       jnp.asarray(meta_np), train=False)
+    converted = convert_reichert_state_dict(sd, "resnet18", nc)
+    variables, missing = apply_converted(variables, converted)
+    assert not missing, f"unconverted leaves: {missing[:8]}"
+
+    # --- reference pipeline: T stochastic forwards -> logits stack --------
+    inputs = [torch.from_numpy(x_np.transpose(0, 3, 1, 2)),
+              torch.from_numpy(meta_np.transpose(0, 3, 1, 2))]
+    ref_logits = ref_mc.mc_forward(oracle, inputs, T=t_samples)
+    assert not oracle.dropout.training, "dropout_sampling must restore eval"
+    ref_logits = ref_logits.permute(0, 1, 3, 4, 2).numpy()  # [T,B,H,W,C]
+
+    # --- JAX pipeline: trunk once, head per matched mask ------------------
+    fused = m.apply(variables, jnp.asarray(x_np), jnp.asarray(meta_np),
+                    train=False, method=SemanticFPN.features)
+    got_stack = np.stack([
+        np.asarray(m.apply(variables,
+                           fused * jnp.asarray(mk.reshape(1, 1, 1, cat_ch)),
+                           stochastic=False, method=SemanticFPN.head))
+        for mk in masks[:, 0, :, 0, 0]], axis=0)
+
+    diff = np.abs(got_stack - ref_logits)
+    assert diff.max() < 5e-3, (
+        f"per-sample MC logits mismatch: max {diff.max():.5f}")
+
+    # --- summaries: p_bar / H_norm / MI_norm ------------------------------
+    oracle.dropout.reset()
+    ref_probs = ref_mc.mc_dropout_probs(oracle, inputs, T=t_samples)
+    ref_h_norm = ref_mc.predictive_entropy_mc(
+        ref_probs, normalize=True).numpy()           # [B,H,W]
+    ref_probs = ref_probs.permute(0, 1, 3, 4, 2).numpy()
+    ref_p_bar = ref_probs.mean(axis=0)
+    # MI from the reference's own sample stack (trainer.py:1143-1152 math)
+    ent = lambda p: -(np.clip(p, 1e-12, None)
+                      * np.log(np.clip(p, 1e-12, None))).sum(-1)
+    ref_mi_norm = (ent(ref_p_bar)
+                   - ent(ref_probs).mean(axis=0)) / np.log(nc)
+
+    p_bar, h_norm, mi_norm = (np.asarray(v) for v in
+                              mc_summaries(jnp.asarray(got_stack)))
+    assert np.abs(p_bar - ref_p_bar).max() < 1e-3
+    assert np.abs(h_norm - ref_h_norm).max() < 1e-3
+    assert np.abs(mi_norm - ref_mi_norm).max() < 1e-3
