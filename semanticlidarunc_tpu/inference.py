@@ -143,3 +143,57 @@ def make_mc_scan_segmenter(model, variables, cfg: dict, height: int,
         return stage_tail(y1, flat)
 
     return run
+
+
+def make_fidnet_pipeline(model, variables, use_fused_aspp: bool | None = None,
+                         wt: int = 128):
+    """jit-backed callable x [B,H,W,C] -> logits for FIDNet, with the ASPP
+    stage as its own fused Pallas executable on TPU.
+
+    The three full-resolution dilated 768->128 convs dominate FIDNet
+    (~17.4 of ~30 ms on v5e at 128x2048 bs1; XLA runs them at ~74 TF/s
+    regardless of dilation). `ops/pallas_aspp.fused_aspp` runs all 27 tap
+    matmuls over one VMEM-resident tile with BN+leaky folded in. Three
+    executables dispatched back to back — pre_aspp trunk, the Pallas ASPP,
+    the SemanticHead — because a Mosaic custom call inside the big XLA
+    program stalls ~25 ms/iteration (ops/pallas_mc_megatail.py header).
+    Falls back to the single-jit XLA forward off-TPU or on unsupported
+    shapes. Eval-only (training keeps the XLA branch convs).
+    """
+    from .models.fidnet import FIDNet
+    from .ops import pallas_aspp as pa
+
+    if use_fused_aspp is None:
+        use_fused_aspp = jax.default_backend() == "tpu"
+
+    if not use_fused_aspp:
+        @jax.jit
+        def run(x):
+            return model.apply(variables, x, train=False, stochastic=False)
+        return run
+
+    folded = pa.fold_fidnet_aspp(variables)
+
+    @jax.jit
+    def stage_pre(x):
+        return model.apply(variables, x, train=False,
+                           method=FIDNet.pre_aspp)
+
+    @jax.jit
+    def stage_aspp(res):
+        return pa.fused_aspp(res, *folded, wt=wt,
+                             interpret=(jax.default_backend() != "tpu"))
+
+    @jax.jit
+    def stage_post(res, aspp_out):
+        return model.apply(variables, res, aspp_out, train=False,
+                           method=FIDNet.post_aspp)
+
+    def run(x):
+        res = stage_pre(x)
+        if not pa.can_fused_aspp(res.shape):
+            return stage_post(res, model.apply(
+                variables, res, train=False, method=FIDNet.aspp))
+        return stage_post(res, stage_aspp(res))
+
+    return run

@@ -118,13 +118,24 @@ def _edge_corr(even, odd, k_flat):
     return jnp.concatenate([c0, c1], axis=-1)       # [n, 2*Cout]
 
 
-def _kernel(h2, w2, c1, c2, cout, k, g1, g2, g3, rg, t_total, flat,
-            y1_hbm, wu2_ref, wuup_ref, kup_ref,
-            sc1_ref, bi1_ref, sc2_ref, bi2_ref, sc3_ref, bi3_ref,
-            sel1_ref, sel2_ref, sel3_ref,
-            wbig_ref, bbig_ref, gsel_ref,
-            out_ref,
-            y_scr, z2_scr, act_scr, sem):
+def _kernel(h2, w2, c1, c2, cout, k, g1, g2, g3, rg, t_total, flat, cf,
+            *refs):
+    if cf is not None:
+        # fused-dec1 mode: the trunk's fused pyramid comes in instead of
+        # y1; dec1 (the folded-dropout wide conv) runs IN-KERNEL, so the
+        # T*C1 pre-GN1 activations never exist in HBM (168 MB at bench
+        # scale) and the executable boundary carries only the pyramid
+        (x_hbm, wd1_ref, mask_ref, wu2_ref, wuup_ref, kup_ref,
+         sc1_ref, bi1_ref, sc2_ref, bi2_ref, sc3_ref, bi3_ref,
+         sel1_ref, sel2_ref, sel3_ref,
+         wbig_ref, bbig_ref, gsel_ref,
+         out_ref, f_scr, y_scr, z2_scr, act_scr, sem) = refs
+    else:
+        (y1_hbm, wu2_ref, wuup_ref, kup_ref,
+         sc1_ref, bi1_ref, sc2_ref, bi2_ref, sc3_ref, bi3_ref,
+         sel1_ref, sel2_ref, sel3_ref,
+         wbig_ref, bbig_ref, gsel_ref,
+         out_ref, y_scr, z2_scr, act_scr, sem) = refs
     bi = pl.program_id(0)
     t = pl.program_id(1)
     pc = 4 * cout
@@ -135,14 +146,49 @@ def _kernel(h2, w2, c1, c2, cout, k, g1, g2, g3, rg, t_total, flat,
     def _():
         out_ref[0] = jnp.zeros_like(out_ref[0])
 
-    # ---- 1. fetch the sample --------------------------------------------
-    if flat:        # y1 [B, h, w, T*C1]: sample t = lane block t*C1
+    # ---- 1. fetch the sample / run dec1 in-kernel ------------------------
+    if cf is not None:
+        @pl.when(t == 0)
+        def _():
+            cp = pltpu.make_async_copy(x_hbm.at[bi], f_scr, sem)
+            cp.start()
+            cp.wait()
+        # mask-fold dec1's kernel for sample t in f32 (bit-identical to
+        # head_mc_pre_flat's wmask fold) and cast once
+        m = mask_ref[pl.ds(t, 1), :].reshape(cf, 1)        # [cf, 1] f32
+        zero_row = jnp.zeros((1, w2, cf), f_scr.dtype)
+        for r0 in range(0, h2, rg):
+            acc = jnp.zeros((rg * w2, c1), jnp.float32)
+            for u in range(3):
+                lo = r0 + u - 1
+                hi = lo + rg
+                if lo < 0:
+                    rows = jnp.concatenate([zero_row, f_scr[0:hi]], axis=0)
+                elif hi > h2:
+                    rows = jnp.concatenate([f_scr[lo:h2], zero_row], axis=0)
+                else:
+                    rows = f_scr[lo:hi]
+                zero_col = jnp.zeros_like(rows[:, :1])
+                for v in range(3):
+                    if v == 0:
+                        win = jnp.concatenate([zero_col, rows[:, :-1]], 1)
+                    elif v == 2:
+                        win = jnp.concatenate([rows[:, 1:], zero_col], 1)
+                    else:
+                        win = rows
+                    kt = (wd1_ref[u * 3 + v] * m).astype(f_scr.dtype)
+                    acc += jnp.dot(win.reshape(rg * w2, cf), kt,
+                                   preferred_element_type=jnp.float32)
+            y_scr[r0:r0 + rg] = acc.reshape(rg, w2, c1).astype(y_scr.dtype)
+    elif flat:      # y1 [B, h, w, T*C1]: sample t = lane block t*C1
         cp = pltpu.make_async_copy(
             y1_hbm.at[bi, :, :, pl.ds(t * c1, c1)], y_scr, sem)
+        cp.start()
+        cp.wait()
     else:           # y1 [T, B, h, w, C1]
         cp = pltpu.make_async_copy(y1_hbm.at[t, bi], y_scr, sem)
-    cp.start()
-    cp.wait()
+        cp.start()
+        cp.wait()
 
     # ---- 2. GN1 (in-kernel stats) + affine + ReLU -----------------------
     yf = y_scr[:].astype(jnp.float32).reshape(n, c1)
@@ -314,27 +360,40 @@ def _pick_rg(h2: int, target: int = 8) -> int:
 @functools.partial(jax.jit, static_argnames=("interpret", "row_group",
                                              "n_samples"))
 def mc_megatail(y1, params: dict, wl, bl, interpret: bool = False,
-                row_group: int | None = None, n_samples: int | None = None):
+                row_group: int | None = None, n_samples: int | None = None,
+                masks=None):
     """(p_sum [B, h, w, 2, 2, K], h_sum [B, h, w, 2, 2]) summed over T.
 
     y1: the raw dec1 output (pre-GN1) — either [T, B, h, w, C1], or the
     wide conv's native [B, h, w, T*C1] layout (head_mc_pre_flat) when
     `n_samples` is given (the kernel then DMAs each sample's lane block
-    directly, skipping the big transpose). params: the model's
-    variables["params"] FPN subtree (dec1_gn / dec2 / dec_up). wl [C', K] /
-    bl [K]: the 1x1 logits head with temperature and class slice already
-    folded in by the caller.
+    directly, skipping the big transpose). With `masks` [T, C_fused]
+    (the already-scaled dropout masks), y1 is instead the TRUNK's fused
+    pyramid [B, h, w, C_fused] and dec1 itself runs IN-KERNEL per sample
+    with the mask folded into its weights — the T*C1 activations never
+    exist in HBM (168 MB at bench scale) and the split-pipeline boundary
+    carries only the pyramid. params: the model's variables["params"] FPN
+    subtree (dec1_kernel / dec1_gn / dec2 / dec_up). wl [C', K] / bl [K]:
+    the 1x1 logits head with temperature and class slice already folded in
+    by the caller.
     """
     from ..models.layers import gn_groups
     from .upconv import fold_kernel
 
-    flat = n_samples is not None
-    if flat:
-        t = n_samples
-        b, h2, w2, tc1 = y1.shape
-        c1 = tc1 // t
+    fused_dec1 = masks is not None
+    flat = n_samples is not None and not fused_dec1
+    if fused_dec1:
+        t = masks.shape[0]
+        b, h2, w2, cf = y1.shape
+        c1 = params["dec1_kernel"].shape[-1]
     else:
-        t, b, h2, w2, c1 = y1.shape
+        cf = None
+        if flat:
+            t = n_samples
+            b, h2, w2, tc1 = y1.shape
+            c1 = tc1 // t
+        else:
+            t, b, h2, w2, c1 = y1.shape
     k2 = params["dec2"]["Conv_0"]["kernel"]
     kup = params["dec_up"]["Conv_0"]["kernel"]
     c2 = k2.shape[-1]
@@ -374,12 +433,21 @@ def mc_megatail(y1, params: dict, wl, bl, interpret: bool = False,
     full = lambda shape: pl.BlockSpec(shape, lambda bi_, ti: (0,) * len(
         shape), memory_space=pltpu.VMEM)
 
+    dec1_specs, dec1_args, dec1_scratch = [], [], []
+    if fused_dec1:
+        wd1 = params["dec1_kernel"].astype(jnp.float32).reshape(
+            9, cf, c1)                       # taps (u, v) major, f32 pre-fold
+        dec1_specs = [full((9, cf, c1)), full((t, cf))]
+        dec1_args = [wd1, masks.astype(jnp.float32)]
+        dec1_scratch = [pltpu.VMEM((h2, w2, cf), y1.dtype)]
+
     out = pl.pallas_call(
         functools.partial(_kernel, h2, w2, c1, c2, cout, k, g1, g2, g3,
-                          rg, t, flat),
+                          rg, t, flat, cf),
         grid=(b, t),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),             # y1
+            pl.BlockSpec(memory_space=pl.ANY),             # y1 / fused
+            *dec1_specs,
             full((3, 3 * c1, c2)), full((3, 3 * c2, pc)),
             full((3, 3, c2, cout)),
             full((1, c1)), full((1, c1)), full((1, c2)), full((1, c2)),
@@ -393,6 +461,7 @@ def mc_megatail(y1, params: dict, wl, bl, interpret: bool = False,
         ],
         out_shape=[jax.ShapeDtypeStruct((b, n, 128), jnp.float32)],
         scratch_shapes=[
+            *dec1_scratch,
             pltpu.VMEM((h2, w2, c1), y1.dtype),
             pltpu.VMEM((h2, w2, c2), y1.dtype),
             pltpu.VMEM((h2, w2, pc), y1.dtype),
@@ -401,7 +470,7 @@ def mc_megatail(y1, params: dict, wl, bl, interpret: bool = False,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(y1, wu2, wuup, kup.astype(y1.dtype),
+    )(y1, *dec1_args, wu2, wuup, kup.astype(y1.dtype),
       v1(gnp1["scale"]), v1(gnp1["bias"]), v1(gnp2["scale"]),
       v1(gnp2["bias"]), v1(sc3[0]).reshape(1, pc),
       v1(bi3[0]).reshape(1, pc),

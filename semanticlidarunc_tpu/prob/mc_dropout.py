@@ -276,6 +276,38 @@ def mc_megatail_summaries(model, variables: Any, y1_flat, n_samples: int,
     return _mc_epilogue(p_sum, h_sum, n_samples, eps)
 
 
+def mc_megatail_fused_summaries(model, variables: Any, fused, rng,
+                                n_samples: int, temperature=None,
+                                class_slice: int | None = None,
+                                eps: float = 1e-12):
+    """(p_bar, H_norm, MI_norm) straight from the TRUNK's fused pyramid
+    [B, h, w, C_fused]: dec1 (the folded-dropout wide conv) runs INSIDE the
+    Pallas mega-kernel, so the [B, h, w, T*C1] pre-GN1 activations never
+    exist in HBM (168 MB at bench scale — head_mc_pre_flat's output) and
+    the split-pipeline boundary shrinks to the 33 MB pyramid. The dropout
+    masks are drawn exactly as head_mc_pre_flat draws them (same rng
+    consumption), so the sampling law — and, per key, the samples — are
+    identical to the XLA fold (tests/test_pallas_megatail.py). Same
+    split-jit requirement as `mc_megatail_summaries`."""
+    from ..ops import pallas_mc_megatail as pmm
+
+    params = variables["params"]
+    wl = params["logits_conv"]["kernel"][0, 0]
+    bl = params["logits_conv"]["bias"]
+    if class_slice is not None:
+        wl, bl = wl[:, :class_slice], bl[:class_slice]
+    if temperature is not None:
+        temp = _temp(temperature)
+        wl, bl = (wl / temp).astype(wl.dtype), bl / temp
+    p = model.pyramid_dropout
+    keep = jax.random.bernoulli(rng, 1.0 - p, (n_samples, fused.shape[-1]))
+    masks = keep.astype(jnp.float32) / (1.0 - p)
+    p_sum, h_sum = pmm.mc_megatail(
+        fused, params, wl, bl, masks=masks,
+        interpret=(jax.default_backend() != "tpu"))
+    return _mc_epilogue(p_sum, h_sum, n_samples, eps)
+
+
 def mc_pallas_tail_summaries(model, variables: Any, y1, n_samples: int,
                              temperature=None, class_slice: int | None = None,
                              eps: float = 1e-12):

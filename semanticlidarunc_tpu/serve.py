@@ -138,17 +138,32 @@ class ScanServer:
 
     `stream(scans)` consumes an iterable of (points [N',>=4], valid [N'])
     numpy pairs (ragged N' allowed — padded/truncated to `n_points`) and
-    yields per-scan dicts. One batch stays in flight: results for batch i
-    are fetched only after batch i+1 has been dispatched.
+    yields per-scan dicts in order. Up to `max_in_flight` batches stay
+    dispatched at once: results for the oldest batch are fetched only when
+    the in-flight window is full (or the stream ends), so host I/O
+    (reading scans, consuming results) overlaps device compute via JAX
+    async dispatch across a deeper window than plain double-buffering.
+
+    `serve(scans, on_result)` is the callback form: each scan's result dict
+    is delivered to `on_result(result)` as soon as its batch is fetched,
+    independent of any consumer pacing — the push analog of `stream`.
+
+    After a stream completes, `last_report()` returns the per-stream
+    latency/throughput self-report: scans/s over the whole stream, per-scan
+    latency percentiles (enqueue -> result delivery), batch count, and the
+    configured window (`tools/bench_serving.py --knee` sweeps
+    max_in_flight to locate where added depth stops paying).
     """
 
     def __init__(self, model, variables, cfg: dict, height: int, width: int,
                  n_samples: int = 20, batch_size: int = 4,
                  n_points: int = 1 << 17, theta_range=None,
-                 use_mc: bool = True, rng=None):
+                 use_mc: bool = True, rng=None, max_in_flight: int = 2):
         self.batch_size = int(batch_size)
         self.n_points = int(n_points)
         self.use_mc = bool(use_mc)
+        self.max_in_flight = max(1, int(max_in_flight))
+        self._report = None
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
         if use_mc:
             self._run = make_batched_mc_segmenter(
@@ -191,20 +206,63 @@ class ScanServer:
             yield d
 
     def stream(self, scans: Iterable) -> Iterator[dict]:
-        pending = None
-        group = []
+        """Ordered generator over per-scan result dicts (see class doc)."""
+        import collections
+        import time
+
+        t_start = time.perf_counter()
+        window = collections.deque()   # (out, counts, [enqueue_times])
+        latencies: list[float] = []
+        n_scans = n_batches = 0
+
+        def drain_oldest():
+            nonlocal n_scans
+            out, counts, enq = window.popleft()
+            results = list(self._emit(out, counts))   # device_get syncs here
+            t_done = time.perf_counter()
+            for t0 in enq:
+                latencies.append((t_done - t0) * 1e3)
+            n_scans += len(results)
+            yield from results
+
+        group, enq_times = [], []
         for scan in scans:
             group.append(scan)
+            enq_times.append(time.perf_counter())
             if len(group) == self.batch_size:
-                launched = self._dispatch(group)
-                group = []
-                if pending is not None:
-                    yield from self._emit(*pending)
-                pending = launched
+                window.append(self._dispatch(group) + (enq_times,))
+                n_batches += 1
+                group, enq_times = [], []
+                if len(window) > self.max_in_flight:
+                    yield from drain_oldest()
         if group:                       # ragged final batch
-            launched = self._dispatch(group)
-            if pending is not None:
-                yield from self._emit(*pending)
-            pending = launched
-        if pending is not None:
-            yield from self._emit(*pending)
+            window.append(self._dispatch(group) + (enq_times,))
+            n_batches += 1
+        while window:
+            yield from drain_oldest()
+
+        wall = time.perf_counter() - t_start
+        lat = np.asarray(latencies) if latencies else np.zeros((1,))
+        self._report = {
+            "n_scans": n_scans,
+            "n_batches": n_batches,
+            "batch_size": self.batch_size,
+            "max_in_flight": self.max_in_flight,
+            "wall_s": wall,
+            "scans_per_sec": n_scans / wall if wall > 0 else 0.0,
+            "latency_ms_p50": float(np.percentile(lat, 50)),
+            "latency_ms_p95": float(np.percentile(lat, 95)),
+            "latency_ms_mean": float(lat.mean()),
+        }
+
+    def serve(self, scans: Iterable, on_result) -> dict:
+        """Push form: deliver each result to `on_result(dict)` as soon as
+        its batch is fetched, regardless of consumer pacing. Returns the
+        stream self-report."""
+        for result in self.stream(scans):
+            on_result(result)
+        return self.last_report()
+
+    def last_report(self) -> dict | None:
+        """Latency/throughput self-report of the most recent stream."""
+        return self._report

@@ -78,3 +78,20 @@ def test_can_megatail_gates():
     assert not mc.can_megatail(model, 2, 64)       # degenerate phase grid
     assert mc.can_megatail(model, 16, 64, class_slice=31)
     assert not mc.can_megatail(model, 16, 64, class_slice=32)  # 4K+4 > 128
+
+
+def test_megatail_fused_dec1_matches_xla_tail():
+    """mc_megatail_fused_summaries (dec1 IN-KERNEL from the fused pyramid)
+    == the XLA production tail: same rng -> identical dropout masks ->
+    same samples, so the stats must agree to conv precision."""
+    t = 4
+    model, variables, x, meta, key = _build(16, 64)
+    fused = model.apply(variables, x, meta, train=False,
+                        method=model.features)
+    for kwargs in ({}, {"temperature": 1.7, "class_slice": 16}):
+        ref = mc.mc_fused_summaries(model, variables, (x, meta), key, t,
+                                    use_pallas=False, **kwargs)
+        got = mc.mc_megatail_fused_summaries(model, variables, fused, key,
+                                             t, **kwargs)
+        for name, r, g in zip(("p_bar", "H", "MI"), ref, got):
+            np.testing.assert_allclose(g, r, atol=5e-5, err_msg=name)

@@ -102,3 +102,46 @@ def test_scan_server_mc_stream_shapes():
         assert g["h_norm"].shape == (H, W)
         assert np.isfinite(g["h_norm"]).all()
         assert np.isfinite(g["mi_norm"]).all()
+
+
+def test_scan_server_in_flight_window_and_report():
+    """max_in_flight>1 keeps results identical and in order, and the stream
+    self-report (latency/throughput) is populated with sane values."""
+    cfg = _cfg("CE")
+    model, variables = _build(cfg)
+    scans = _raw_scans(7)          # 3 full batches + ragged 1
+    valid = [np.ones((len(s),), bool) for s in scans]
+
+    base = serve.ScanServer(model, variables, cfg, H, W, batch_size=2,
+                            n_points=1 << 12, use_mc=False, max_in_flight=1)
+    deep = serve.ScanServer(model, variables, cfg, H, W, batch_size=2,
+                            n_points=1 << 12, use_mc=False, max_in_flight=3)
+    want = list(base.stream(zip(scans, valid)))
+    got = list(deep.stream(zip(scans, valid)))
+    assert len(got) == len(want) == 7
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(w["segmentation"], g["segmentation"])
+        np.testing.assert_array_equal(w["point_labels"], g["point_labels"])
+
+    rep = deep.last_report()
+    assert rep["n_scans"] == 7 and rep["n_batches"] == 4
+    assert rep["max_in_flight"] == 3
+    assert rep["scans_per_sec"] > 0
+    assert rep["latency_ms_p95"] >= rep["latency_ms_p50"] > 0
+
+
+def test_scan_server_callback_serve():
+    """serve(scans, on_result) pushes every result and returns the report."""
+    cfg = _cfg("CE")
+    model, variables = _build(cfg)
+    server = serve.ScanServer(model, variables, cfg, H, W, batch_size=2,
+                              n_points=1 << 12, use_mc=False,
+                              max_in_flight=2)
+    scans = _raw_scans(3)
+    valid = [np.ones((len(s),), bool) for s in scans]
+    got = []
+    rep = server.serve(zip(scans, valid), got.append)
+    assert len(got) == 3
+    assert rep["n_scans"] == 3 and rep["n_batches"] == 2
+    for s, g in zip(scans, got):
+        assert g["point_labels"].shape == (len(s),)

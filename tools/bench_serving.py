@@ -99,5 +99,57 @@ def main():
               flush=True)
 
 
+def knee():
+    """Sweep ScanServer max_in_flight at a fixed batch size and print the
+    per-stream self-reports — shows where extra pipeline depth stops paying
+    (the knee). Run: ... tools/bench_serving.py --knee [batch_size]"""
+    import numpy as np
+
+    from semanticlidarunc_tpu import inference, serve
+    from semanticlidarunc_tpu.dataset.synthetic import make_scan
+    from semanticlidarunc_tpu.models import registry
+    from semanticlidarunc_tpu.ops.projection import pad_points
+    from semanticlidarunc_tpu.utils import config as cfg_util
+
+    args = [a for a in sys.argv[1:] if a != "--knee"]
+    b = int(args[0]) if args else 4
+    n_scans = 48
+    cfg = cfg_util.with_extras({
+        "dataset_name": "SemanticKitti",
+        "model_settings": {
+            "baseline": "Reichert", "model_type": "resnet50",
+            "loss_function": "CE", "attention": True,
+            "multi_scale_meta": True, "normals": True, "reflectivity": True,
+            "projection": [H, W]},
+        "train_params": {},
+    })
+    model = registry.build_model(cfg, dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    scans = [make_scan(seed=i, n_beams=64, n_azimuth=2048)[:, :4]
+             for i in range(n_scans)]
+    pts0, vld0 = pad_points(scans[0], N_POINTS)
+    inputs0, _ = inference.preprocess_scan(jnp.asarray(pts0[:, :4]),
+                                           jnp.asarray(vld0), H, W, cfg)
+    variables = model.init({"params": key, "dropout": key}, *inputs0,
+                           train=False)
+
+    for depth in (1, 2, 3, 4):
+        server = serve.ScanServer(model, variables, cfg, H, W,
+                                  n_samples=MC_SAMPLES, batch_size=b,
+                                  n_points=N_POINTS, use_mc=True,
+                                  max_in_flight=depth)
+        stream = zip(scans, (np.ones((len(s),), bool) for s in scans))
+        n = sum(1 for _ in server.stream(stream))   # warm compile
+        stream = zip(scans, (np.ones((len(s),), bool) for s in scans))
+        n = sum(1 for _ in server.stream(stream))
+        rep = server.last_report()
+        assert n == n_scans
+        print(json.dumps({k: (round(v, 3) if isinstance(v, float) else v)
+                          for k, v in rep.items()}), flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--knee" in sys.argv:
+        knee()
+    else:
+        main()
