@@ -178,17 +178,19 @@ def main():
             inputs, flat = inference.preprocess_scan(pts, valid, H, W, cfg)
             fused = model.apply(variables, *inputs, train=False,
                                 method=model.features)
-            y1 = model.apply(
-                variables, fused, rng, MC_SAMPLES,
-                method=(model.head_mc_pre_flat if mega_f
-                        else model.head_mc_pre))
-            return y1, flat
+            if mega_f:
+                # dec1 runs inside the mega-kernel (fused-dec1 mode): the
+                # stage boundary carries the 33 MB pyramid, not the 168 MB
+                # T*C1 activations — measured 14.2 -> 12.4 ms model-only
+                return fused, flat
+            return model.apply(variables, fused, rng, MC_SAMPLES,
+                               method=model.head_mc_pre), flat
 
         @jax.jit
-        def full_stage2(y1, flat):
+        def full_stage2(y1, flat, rng):
             if mega_f:
-                p_bar, h_norm, mi_norm = mc.mc_megatail_summaries(
-                    model, variables, y1, MC_SAMPLES)
+                p_bar, h_norm, mi_norm = mc.mc_megatail_fused_summaries(
+                    model, variables, y1, rng, MC_SAMPLES)
             else:
                 p_bar, h_norm, mi_norm = mc.mc_pallas_tail_summaries(
                     model, variables, y1, MC_SAMPLES)
@@ -201,10 +203,10 @@ def main():
             h_prev = jnp.zeros((H, W), jnp.float32)
             mi_prev = jnp.zeros((H, W), jnp.float32)
             for i in range(int(n)):
-                y1, flat = full_stage1(points, valid,
-                                       jax.random.fold_in(key, i),
+                rng_i = jax.random.fold_in(key, i)
+                y1, flat = full_stage1(points, valid, rng_i,
                                        h_prev, mi_prev)
-                s, h_prev, mi_prev = full_stage2(y1, flat)
+                s, h_prev, mi_prev = full_stage2(y1, flat, rng_i)
                 acc = acc + s
             return acc
 
@@ -214,16 +216,18 @@ def main():
         def stage_model_trunk(xx, i):
             fused = model.apply(variables, xx, meta0, train=False,
                                 method=model.features)
+            if mega:
+                return fused
             return model.apply(
                 variables, fused, jax.random.fold_in(key, i), MC_SAMPLES,
-                method=(model.head_mc_pre_flat if mega
-                        else model.head_mc_pre))
+                method=model.head_mc_pre)
 
         @jax.jit
-        def stage_model_tail(xx, y1):
+        def stage_model_tail(xx, y1, i):
             if mega:
-                p_bar, h_norm, mi_norm = mc.mc_megatail_summaries(
-                    model, variables, y1, MC_SAMPLES)
+                p_bar, h_norm, mi_norm = mc.mc_megatail_fused_summaries(
+                    model, variables, y1, jax.random.fold_in(key, i),
+                    MC_SAMPLES)
             else:
                 p_bar, h_norm, mi_norm = mc.mc_pallas_tail_summaries(
                     model, variables, y1, MC_SAMPLES)
@@ -235,7 +239,7 @@ def main():
             xx, acc = x0, jnp.int32(0)
             for i in range(int(n)):
                 y1 = stage_model_trunk(xx, i)
-                xx, s = stage_model_tail(xx, y1)
+                xx, s = stage_model_tail(xx, y1, i)
                 acc = acc + s
             return acc
 

@@ -112,23 +112,23 @@ def make_batched_mc_segmenter(model, variables, cfg: dict, height: int,
     def stage_trunk(points, valid, rng):
         inputs, flat = _batched_inputs(points, valid, height, width,
                                        theta_range, cfg)
+        # dec1 runs inside the mega-kernel (fused-dec1 mode): the stage
+        # boundary carries the fused pyramid, not the T*C1 activations
         fused = model.apply(variables, *inputs, train=False,
                             method=model.features)
-        y1 = model.apply(variables, fused, rng, n_samples,
-                         method=model.head_mc_pre_flat)
-        return y1, flat
+        return fused, flat
 
     @jax.jit
-    def stage_tail(y1, flat):
-        p_bar, h_norm, mi_norm = mc.mc_megatail_summaries(
-            model, variables, y1, n_samples, temperature=temperature,
-            class_slice=nc)
+    def stage_tail(fused, flat, rng):
+        p_bar, h_norm, mi_norm = mc.mc_megatail_fused_summaries(
+            model, variables, fused, rng, n_samples,
+            temperature=temperature, class_slice=nc)
         seg = jnp.argmax(p_bar, axis=-1).astype(jnp.int32)
         return jax.vmap(back_project)(seg, flat), seg, h_norm, mi_norm
 
     def run(points, valid, rng):
-        y1, flat = stage_trunk(points, valid, rng)
-        return stage_tail(y1, flat)
+        fused, flat = stage_trunk(points, valid, rng)
+        return stage_tail(fused, flat, rng)
 
     return run
 

@@ -465,16 +465,17 @@ class Trainer:
                 variables = {"params": params}
                 if batch_stats is not None:
                     variables["batch_stats"] = batch_stats
-                fused = self.model.apply(variables, *inputs, train=False,
-                                         method=self.model.features)
-                return self.model.apply(
-                    variables, fused, rng, self.mc_samples,
-                    method=self.model.head_mc_pre_flat)
+                # dec1 runs inside the mega-kernel (fused-dec1 mode): the
+                # executable boundary carries the fused pyramid, not the
+                # T*C1 activations (prob/mc_dropout.
+                # mc_megatail_fused_summaries)
+                return self.model.apply(variables, *inputs, train=False,
+                                        method=self.model.features)
 
-            def eval_post(params, y1, labels, rng, temperature=1.0):
-                p_bar, h_norm, mi_norm = mc.mc_megatail_summaries(
-                    self.model, {"params": params}, y1, self.mc_samples,
-                    temperature=temperature,
+            def eval_post(params, fused, labels, rng, temperature=1.0):
+                p_bar, h_norm, mi_norm = mc.mc_megatail_fused_summaries(
+                    self.model, {"params": params}, fused, rng,
+                    self.mc_samples, temperature=temperature,
                     class_slice=(nc if self.loss_name == "Dirichlet"
                                  else None))
                 conf = jnp.max(p_bar, axis=-1)
