@@ -12,9 +12,8 @@ bs1). Measured facts driving this design (tools-era probes, round 4):
   cost ~8 ms, and grouped convs lower ~3x worse.
 
 Here all 27 tap-matmuls (3 rates x 9 taps) run over ONE VMEM-resident input
-tile: im2col row-slabs ([rg*wt, 3*768] lane-concats of the three W-shifted
-windows) hit the MXU as [rg*wt, 2304] x [2304, 128] matmuls — K = 18 and
-N = 1 exact 128-lane tiles, zero padding waste. The inference BatchNorm is
+tile as [rg*wt, 768] x [768, 128] MXU matmuls — K = 6 and N = 1 exact
+128-lane tiles, zero padding waste. The inference BatchNorm is
 an affine: its scale folds into the conv kernels host-side and its shift
 rides as a per-branch bias, so BN + leaky finish in-kernel and the 384
 output channels are written once.
@@ -38,28 +37,35 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_SLOPE = 0.01      # models/cenet._leaky / reference LeakyReLU default
 
 
-def _kernel(h, wt, c, n_out, rg, rates, pad, x_hbm, w_ref, b_ref, out_ref,
-            x_scr, sem):
+def _kernel(h, wt, c, n_out, rg, rates, pad, fetch_w, x_hbm, w_ref, b_ref,
+            out_ref, x_scr, sem):
     bi = pl.program_id(0)
     wi = pl.program_id(1)
 
+    # fetch_w >= wt + 2*pad rounded up to the sublane tile (8): DMA slice
+    # shapes along W must be 8-aligned (Mosaic), so each tile over-fetches
+    # a few trailing columns the taps never read
     cp = pltpu.make_async_copy(
-        x_hbm.at[bi, :, pl.ds(wi * wt, wt + 2 * pad), :], x_scr, sem)
+        x_hbm.at[bi, :, pl.ds(wi * wt, fetch_w), :], x_scr, sem)
     cp.start()
     cp.wait()
 
+    # per-tap matmul accumulation: lane-concats of differently-offset
+    # slices trip Mosaic ("result/input offset mismatch on non-concat
+    # dimension"), so each of the 9 taps per rate is its own
+    # [rg*wt, C] x [C, 128] matmul — same MXU tiles, no relayout
     for r0 in range(0, h, rg):
         for ri, r in enumerate(rates):
             acc = jnp.zeros((rg * wt, 128), jnp.float32)
             for u in range(3):
                 rows = x_scr[pad + r0 + (u - 1) * r:
                              pad + r0 + (u - 1) * r + rg]
-                slab = jnp.concatenate(
-                    [rows[:, pad + (v - 1) * r: pad + (v - 1) * r + wt, :]
-                     for v in range(3)],
-                    axis=-1).reshape(rg * wt, 3 * c)
-                acc += jnp.dot(slab, w_ref[ri, u],
-                               preferred_element_type=jnp.float32)
+                for v in range(3):
+                    win = rows[:, pad + (v - 1) * r:
+                               pad + (v - 1) * r + wt, :]
+                    acc += jnp.dot(win.reshape(rg * wt, c),
+                                   w_ref[ri, u * 3 + v],
+                                   preferred_element_type=jnp.float32)
             y = acc + b_ref[0, ri * 128:(ri + 1) * 128]
             y = jnp.maximum(y, NEG_SLOPE * y)
             out_ref[0, r0:r0 + rg, :, ri * 128:(ri + 1) * 128] = (
@@ -84,14 +90,16 @@ def fused_aspp(res: jnp.ndarray, kernels, scales, biases,
     assert h % rg == 0, (h, rg)
 
     wp = -w % wt
+    fetch_w = -(-(wt + 2 * pad) // 8) * 8     # 8-aligned DMA slice width
+    extra = fetch_w - (wt + 2 * pad)
     xp = jnp.pad(res.astype(compute_dtype),
-                 ((0, 0), (pad, pad), (pad, pad + wp), (0, 0)))
+                 ((0, 0), (pad, pad), (pad, pad + wp + extra), (0, 0)))
     n_wtiles = (w + wp) // wt
 
-    # fold the BN scale into the kernels; arrange [R, 3(u), 3C(v-major), 128]
+    # fold the BN scale into the kernels; arrange [R, 9 taps (u*3+v), C, 128]
     wk = jnp.stack([
         (jnp.asarray(k) * jnp.asarray(s).reshape(1, 1, 1, -1)
-         ).reshape(3, 3 * c, 128)
+         ).reshape(9, c, 128)
         for k, s in zip(kernels, scales)]).astype(compute_dtype)
     bb = jnp.concatenate([jnp.asarray(v).reshape(-1) for v in biases]
                          ).reshape(1, n_rates * 128).astype(jnp.float32)
@@ -101,11 +109,11 @@ def fused_aspp(res: jnp.ndarray, kernels, scales, biases,
 
     out = pl.pallas_call(
         functools.partial(_kernel, h, wt, c, n_rates * 128, rg, tuple(rates),
-                          pad),
+                          pad, fetch_w),
         grid=(b, n_wtiles),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),          # x (HBM)
-            full((n_rates, 3, 3 * c, 128)),
+            full((n_rates, 9, c, 128)),
             full((1, n_rates * 128)),
         ],
         out_specs=pl.BlockSpec(
@@ -114,7 +122,7 @@ def fused_aspp(res: jnp.ndarray, kernels, scales, biases,
         out_shape=jax.ShapeDtypeStruct((b, h, w + wp, n_rates * 128),
                                        compute_dtype),
         scratch_shapes=[
-            pltpu.VMEM((h + 2 * pad, wt + 2 * pad, c), compute_dtype),
+            pltpu.VMEM((h + 2 * pad, fetch_w, c), compute_dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=None if interpret else pltpu.CompilerParams(
