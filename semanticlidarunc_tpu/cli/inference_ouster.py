@@ -73,7 +73,10 @@ def main(args):
     from ..dataset.definitions import COLOR_MAP
     from ..models import registry
     from ..train import checkpoint as ckpt
+    from ..utils import compile_cache
     from ..utils import config as cfg_util
+
+    compile_cache.enable()
     from ..utils.viz import colorize_labels, has_display, show_stack
 
     cfg = cfg_util.with_extras(cfg_util.load_config(args.cfg_path))

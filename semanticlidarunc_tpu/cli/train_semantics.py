@@ -112,8 +112,10 @@ def run_with_cfg(cfg, args):
     from ..models import registry
     from ..train.tester import Tester
     from ..train.trainer import Trainer
+    from ..utils import compile_cache
     from ..utils import config as cfg_util
 
+    compile_cache.enable()
     train_loader, test_loader = build_loaders(cfg, args.mode)
 
     model = registry.build_model(cfg)
