@@ -61,10 +61,9 @@ import jax.numpy as jnp
 # Persistent compilation cache: fresh XLA compiles through this
 # environment's remote-compile tunnel cost minutes; caching makes repeat
 # bench runs (and the driver's end-of-round run) near-instant to warm up.
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("SLU_JAX_CACHE",
-                                 "/root/repo/.jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+from semanticlidarunc_tpu.utils import compile_cache  # noqa: E402
+
+compile_cache.enable()
 
 _T0 = time.monotonic()
 MC_SAMPLES = 20

@@ -9,17 +9,15 @@ Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_serving.py [B ...
 from __future__ import annotations
 
 import json
-import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("SLU_JAX_CACHE",
-                                 "/root/repo/.jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+from semanticlidarunc_tpu.utils import compile_cache  # noqa: E402
+
+compile_cache.enable()
 
 MC_SAMPLES = 20
 H, W = 64, 2048
