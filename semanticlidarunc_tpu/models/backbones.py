@@ -505,6 +505,14 @@ class SqueezeNetBackbone(nn.Module):
 # ---------------------------------------------------------------------------
 
 BACKBONE_SPECS = {
+    # Test/CI-grade tiny resnet (no reference analog): one basic block per
+    # stage at width 16. Same FPN structure and code paths as resnet18 at a
+    # fraction of the XLA compile cost — the test suite's orchestration-level
+    # tests (mesh sharding, trainer loops, CLI smoke) use it so a cold run
+    # compiles minutes, not tens of minutes, of train/eval programs.
+    "resnet10t": dict(family="resnet", stage_sizes=(1, 1, 1, 1),
+                      block="basic", width=16,
+                      base_channels=(128, 64, 32, 16, 8), scales=(8, 4, 2)),
     "resnet18": dict(family="resnet", stage_sizes=(2, 2, 2, 2), block="basic",
                      base_channels=(512, 256, 128, 64, 32), scales=(8, 4, 2)),
     "resnet34": dict(family="resnet", stage_sizes=(3, 4, 6, 3), block="basic",
@@ -579,7 +587,8 @@ def make_backbone(name: str, meta_dim: int, dtype=jnp.float32):
     fam = spec["family"]
     if fam == "resnet":
         bb = ResNetBackbone(stage_sizes=spec["stage_sizes"],
-                            block=spec["block"], meta_dim=meta_dim,
+                            block=spec["block"],
+                            width=spec.get("width", 64), meta_dim=meta_dim,
                             dtype=dtype)
     elif fam == "shufflenet":
         bb = ShuffleNetV2Backbone(stage_channels=spec["stage_channels"],

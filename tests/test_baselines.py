@@ -56,7 +56,7 @@ def test_fidnet_logits():
 
 def test_fpn_elu_head_positive():
     from semanticlidarunc_tpu.models.fpn import SemanticFPN
-    m = SemanticFPN(num_classes=5, backbone="resnet18", input_channels=2,
+    m = SemanticFPN(num_classes=5, backbone="resnet10t", input_channels=2,
                     meta_channels=6, head_activation="elu_plus_one")
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (1, 16, 32, 2))

@@ -224,7 +224,7 @@ def test_mc_split_summaries_matches_stacked(rng):
     import jax
     from semanticlidarunc_tpu.models.fpn import SemanticFPN
     from semanticlidarunc_tpu.prob import mc_dropout as mc
-    m = SemanticFPN(num_classes=6, backbone="resnet18", input_channels=2,
+    m = SemanticFPN(num_classes=6, backbone="resnet10t", input_channels=2,
                     meta_channels=6)
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (1, 16, 32, 2))
@@ -255,7 +255,7 @@ def test_head_mc_fused_path(rng):
     x = jax.random.normal(key, (1, 16, 32, 2))
     meta = jax.random.normal(key, (1, 16, 32, 6))
 
-    m0 = SemanticFPN(num_classes=6, backbone="resnet18", input_channels=2,
+    m0 = SemanticFPN(num_classes=6, backbone="resnet10t", input_channels=2,
                      meta_channels=6, pyramid_dropout=0.0)
     vs = m0.init({"params": key, "dropout": key}, x, meta, train=False)
     fused = m0.apply(vs, x, meta, train=False, method=m0.features)
@@ -268,7 +268,7 @@ def test_head_mc_fused_path(rng):
     np.testing.assert_allclose(
         np.asarray(p_bar), np.asarray(jax.nn.softmax(det, -1)), atol=1e-5)
 
-    m = SemanticFPN(num_classes=6, backbone="resnet18", input_channels=2,
+    m = SemanticFPN(num_classes=6, backbone="resnet10t", input_channels=2,
                     meta_channels=6, pyramid_dropout=0.1)
     vs = m.init({"params": key, "dropout": key}, x, meta, train=False)
     fused = m.apply(vs, x, meta, train=False, method=m.features)
@@ -293,7 +293,7 @@ def test_head_mc_batched(rng):
     x = jax.random.normal(key, (2, 16, 32, 2))
     meta = jax.random.normal(key, (2, 16, 32, 6))
 
-    m0 = SemanticFPN(num_classes=6, backbone="resnet18", input_channels=2,
+    m0 = SemanticFPN(num_classes=6, backbone="resnet10t", input_channels=2,
                      meta_channels=6, pyramid_dropout=0.0)
     vs = m0.init({"params": key, "dropout": key}, x, meta, train=False)
     fused = m0.apply(vs, x, meta, train=False, method=m0.features)
@@ -311,7 +311,7 @@ def test_head_mc_batched(rng):
     np.testing.assert_allclose(np.asarray(mi), 0.0, atol=1e-5)
 
     # p>0: batched fused samples match the per-element vmapped-head law
-    m = SemanticFPN(num_classes=6, backbone="resnet18", input_channels=2,
+    m = SemanticFPN(num_classes=6, backbone="resnet10t", input_channels=2,
                     meta_channels=6, pyramid_dropout=0.1)
     vs = m.init({"params": key, "dropout": key}, x, meta, train=False)
     fused = m.apply(vs, x, meta, train=False, method=m.features)
@@ -336,7 +336,7 @@ def test_mc_predictive_summaries_class_slice_and_split(rng):
     key = jax.random.PRNGKey(5)
     x = jax.random.normal(key, (2, 16, 32, 2))
     meta = jax.random.normal(key, (2, 16, 32, 6))
-    m = SemanticFPN(num_classes=7, backbone="resnet18", input_channels=2,
+    m = SemanticFPN(num_classes=7, backbone="resnet10t", input_channels=2,
                     meta_channels=6, pyramid_dropout=0.0)
     vs = m.init({"params": key, "dropout": key}, x, meta, train=False)
     p1, h1, mi1 = mc.mc_predictive_summaries(m, vs, (x, meta), key, 2,

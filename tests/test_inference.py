@@ -14,7 +14,7 @@ from semanticlidarunc_tpu.utils import config as cfg_util
 def _cfg(h, w, loss="CE"):
     return cfg_util.with_extras({
         "dataset_name": "SemanticKitti",
-        "model_settings": {"baseline": "Reichert", "model_type": "resnet18",
+        "model_settings": {"baseline": "Reichert", "model_type": "resnet10t",
                            "loss_function": loss, "attention": True,
                            "multi_scale_meta": True, "normals": True,
                            "reflectivity": True, "projection": [h, w]},

@@ -66,10 +66,19 @@ def test_fpn_head_stochasticity():
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o1b))
 
 
-@pytest.mark.parametrize("backbone", ["resnet18", "resnet50",
-                                      "shufflenet_v2_x1_0",
-                                      "regnet_y_400mf",
-                                      "efficientnet_v2_s", "squeezenet1_0"])
+# The non-resnet18 variants are `slow`: each of these families' forward is
+# already covered BY A STRONGER TEST in the default run — the torch-oracle
+# numeric parity tests in tests/test_torch_parity.py (resnet50, shufflenet,
+# regnet, efficientnet_v2_s, squeezenet) — so the shape-only smoke here is
+# duplicate coverage that costs ~50-70 s of cold CPU compile per family.
+@pytest.mark.parametrize("backbone", [
+    "resnet18",
+    pytest.param("resnet50", marks=pytest.mark.slow),
+    pytest.param("shufflenet_v2_x1_0", marks=pytest.mark.slow),
+    pytest.param("regnet_y_400mf", marks=pytest.mark.slow),
+    pytest.param("efficientnet_v2_s", marks=pytest.mark.slow),
+    pytest.param("squeezenet1_0", marks=pytest.mark.slow),
+])
 def test_backbone_variants(backbone):
     m = SemanticFPN(num_classes=4, backbone=backbone,
                     input_channels=1, meta_channels=3)

@@ -19,7 +19,7 @@ pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
 def _cfg():
     return cfg_util.with_extras({
         "dataset_name": "SemanticKitti",
-        "model_settings": {"baseline": "Reichert", "model_type": "resnet18",
+        "model_settings": {"baseline": "Reichert", "model_type": "resnet10t",
                            "loss_function": "CE", "attention": True,
                            "multi_scale_meta": True, "normals": True,
                            "reflectivity": True, "projection": [32, 64]},

@@ -15,7 +15,7 @@ from semanticlidarunc_tpu.utils import config as cfg_util
 def _cfg(loss="Dirichlet"):
     return cfg_util.with_extras({
         "dataset_name": "SemanticKitti",
-        "model_settings": {"baseline": "Reichert", "model_type": "resnet18",
+        "model_settings": {"baseline": "Reichert", "model_type": "resnet10t",
                            "loss_function": loss, "attention": True,
                            "multi_scale_meta": True, "normals": True,
                            "reflectivity": True, "projection": [32, 64]},
@@ -102,7 +102,7 @@ def test_discover_ref_mask():
 
 def test_qkv_attention_variant():
     from semanticlidarunc_tpu.models.fpn import SemanticFPN
-    m = SemanticFPN(num_classes=4, backbone="resnet18", input_channels=2,
+    m = SemanticFPN(num_classes=4, backbone="resnet10t", input_channels=2,
                     meta_channels=6, attention_type="qkv")
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (1, 16, 32, 2))

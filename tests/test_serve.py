@@ -17,7 +17,7 @@ def _cfg(loss="CE"):
     return cfg_util.with_extras({
         "dataset_name": "SemanticKitti",
         "model_settings": {
-            "baseline": "Reichert", "model_type": "resnet18",
+            "baseline": "Reichert", "model_type": "resnet10t",
             "loss_function": loss, "attention": True,
             "multi_scale_meta": True, "normals": True, "reflectivity": True,
             "projection": [H, W], "use_mc_sampling": loss != "CE",

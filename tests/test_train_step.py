@@ -14,7 +14,7 @@ def _cfg(loss="CE", baseline="Reichert"):
     cfg = {
         "dataset_name": "SemanticKitti",
         "model_settings": {
-            "baseline": baseline, "model_type": "resnet18",
+            "baseline": baseline, "model_type": "resnet10t",
             "loss_function": loss, "attention": True,
             "multi_scale_meta": True, "normals": True, "reflectivity": True,
             "projection": [32, 64], "use_mc_sampling": False,
