@@ -66,6 +66,15 @@ from semanticlidarunc_tpu.utils import compile_cache  # noqa: E402
 compile_cache.enable()
 
 _T0 = time.monotonic()
+
+
+def _mark(msg: str) -> None:
+    """Phase timestamps on STDERR (stdout stays the one-JSON-line contract):
+    lets a driver log show where the wall budget went when a metric is null."""
+    print(f"[bench +{time.monotonic() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
 MC_SAMPLES = 20
 H, W = 64, 2048
 N_POINTS = 1 << 17                      # 131072 = KITTI-scale point count
@@ -120,12 +129,22 @@ def main():
 
     key = jax.random.PRNGKey(0)
     inputs0, _ = inference.preprocess_scan(points, valid, H, W, cfg)
+    _mark("preprocess done, initializing model")
     variables = model.init({"params": key, "dropout": key}, *inputs0,
                            train=False)
+    _mark("model.init done")
+
+    # NOTE: every jitted function below takes `variables` (and any other
+    # large array) as an ARGUMENT, never as a Python closure. A closed-over
+    # array is embedded into the lowered module as a constant: with resnet50
+    # weights that means a ~430 MB module, 2-8 MINUTES of trace+lower per
+    # process (measured on this 1-core host), a ~430 MB persistent-cache
+    # entry, and a cache key that changes with unrelated line edits.
+    # Weights-as-args keeps modules small and trace+lower in seconds.
 
     # -- primary: full scan path (projection -> MC-20 -> back-projection) --
     @jax.jit
-    def chained_full(n):
+    def chained_full_impl(n, variables):
         def body(i, carry):
             pts, acc = carry
             inputs, flat = inference.preprocess_scan(pts, valid, H, W, cfg)
@@ -140,11 +159,14 @@ def main():
         _, acc = jax.lax.fori_loop(0, n, body, (points, jnp.int32(0)))
         return acc
 
+    def chained_full(n):
+        return chained_full_impl(n, variables)
+
     # -- secondary: model-only (pre-projected tensors, reference protocol) --
     x0, meta0 = inputs0
 
     @jax.jit
-    def chained_model(n):
+    def chained_model_impl(n, variables):
         def body(i, carry):
             xx, acc = carry
             p_bar, h_norm, mi_norm = mc.mc_predictive_summaries(
@@ -155,6 +177,9 @@ def main():
             return xx + dep.astype(xx.dtype), acc + preds.sum()
         _, acc = jax.lax.fori_loop(0, n, body, (x0, jnp.int32(0)))
         return acc
+
+    def chained_model(n):
+        return chained_model_impl(n, variables)
 
     # -- split Pallas-tail pipeline (the production inference path on TPU:
     # inference.make_mc_scan_segmenter) — two executables dispatched back
@@ -171,7 +196,7 @@ def main():
         mega_f = mc.can_megatail(model, H, W)
 
         @jax.jit
-        def full_stage1(pts, valid, rng, h_prev, mi_prev):
+        def full_stage1(variables, pts, valid, rng, h_prev, mi_prev):
             dep = (h_prev.sum() + mi_prev.sum()) * 1e-12
             pts = pts + dep.astype(pts.dtype)
             inputs, flat = inference.preprocess_scan(pts, valid, H, W, cfg)
@@ -186,7 +211,7 @@ def main():
                                method=model.head_mc_pre), flat
 
         @jax.jit
-        def full_stage2(y1, flat, rng):
+        def full_stage2(variables, y1, flat, rng):
             if mega_f:
                 p_bar, h_norm, mi_norm = mc.mc_megatail_fused_summaries(
                     model, variables, y1, rng, MC_SAMPLES)
@@ -203,16 +228,16 @@ def main():
             mi_prev = jnp.zeros((H, W), jnp.float32)
             for i in range(int(n)):
                 rng_i = jax.random.fold_in(key, i)
-                y1, flat = full_stage1(points, valid, rng_i,
+                y1, flat = full_stage1(variables, points, valid, rng_i,
                                        h_prev, mi_prev)
-                s, h_prev, mi_prev = full_stage2(y1, flat, rng_i)
+                s, h_prev, mi_prev = full_stage2(variables, y1, flat, rng_i)
                 acc = acc + s
             return acc
 
         mega = mc.can_megatail(model, H, W)
 
         @jax.jit
-        def stage_model_trunk(xx, i):
+        def stage_model_trunk(variables, xx, i):
             fused = model.apply(variables, xx, meta0, train=False,
                                 method=model.features)
             if mega:
@@ -222,7 +247,7 @@ def main():
                 method=model.head_mc_pre)
 
         @jax.jit
-        def stage_model_tail(xx, y1, i):
+        def stage_model_tail(variables, xx, y1, i):
             if mega:
                 p_bar, h_norm, mi_norm = mc.mc_megatail_fused_summaries(
                     model, variables, y1, jax.random.fold_in(key, i),
@@ -237,21 +262,24 @@ def main():
         def chained_model(n):
             xx, acc = x0, jnp.int32(0)
             for i in range(int(n)):
-                y1 = stage_model_trunk(xx, i)
-                xx, s = stage_model_tail(xx, y1, i)
+                y1 = stage_model_trunk(variables, xx, i)
+                xx, s = stage_model_tail(variables, xx, y1, i)
                 acc = acc + s
             return acc
 
     # metric priority under the wall budget: (1) primary e2e, (2) train-step
     # throughput (VERDICT r2 #6 — train-path regressions must be externally
     # visible), (3) the secondary model-only number if time remains
+    _mark("measuring primary e2e")
     per_scan_full = _timed_slope(chained_full, N_ITERS)
+    _mark(f"primary e2e done: {1.0 / per_scan_full:.1f} scans/s")
 
     # bs8 train-step throughput in a subprocess with the remaining budget
     # (minus a reserve for the model-only metric) so a slow compile can
     # never cost us the primary metric
     train_scans = None
     remaining = BUDGET_S - (time.monotonic() - _T0) - 20.0
+    _mark(f"train-step subprocess: remaining budget {remaining:.0f}s")
     if remaining > 60.0:
         try:
             out = subprocess.run(
@@ -265,8 +293,11 @@ def main():
             train_scans = None
 
     per_scan_model = None
+    _mark(f"model-only: remaining budget "
+          f"{BUDGET_S - (time.monotonic() - _T0):.0f}s")
     if BUDGET_S - (time.monotonic() - _T0) > 30.0:
         per_scan_model = _timed_slope(chained_model, N_ITERS)
+        _mark("model-only done")
 
     scans_per_sec = 1.0 / per_scan_full
     print(json.dumps({
@@ -319,8 +350,11 @@ def train_step_bench():
     wv = tr._weights_vec()
     key = jax.random.PRNGKey(0)
 
+    # state AND batch enter as jit ARGUMENTS (not closures) — see the
+    # weights-as-args note in main(): closed-over they become ~900 MB of
+    # module constants (params + 2 Adam moments) and minutes of lowering
     @jax.jit
-    def chained(n):
+    def chained(n, state, batch):
         def body(i, st):
             st2, _ = tr._train_step(st, batch, wv,
                                     jax.random.fold_in(key, i))
@@ -333,7 +367,7 @@ def train_step_bench():
 
     def timed(n):
         t0 = time.perf_counter()
-        float(chained(jnp.asarray(n)))
+        float(chained(jnp.asarray(n), state, batch))
         return time.perf_counter() - t0
 
     timed(1)

@@ -60,8 +60,15 @@ def make_scan_segmenter(model, variables, cfg: dict, height: int, width: int,
                         theta_range=None):
     """jitted: (points [N,>=4], valid [N]) -> (point_labels [N], seg [H,W])."""
 
+    # `variables` is a jit ARGUMENT in every pipeline below, never a
+    # closure: a closed-over param tree is embedded into the lowered module
+    # as constants, which costs minutes of trace+lower for the big
+    # backbones (~430 MB of module constants for resnet50 on a 1-core
+    # host), bloats the persistent compile cache by the same amount, and
+    # couples the cache key to unrelated source-line shifts. Passing the
+    # tree keeps modules small; the weights stay device-resident either way.
     @jax.jit
-    def run(points, valid):
+    def _run(variables, points, valid):
         inputs, flat = preprocess_scan(points, valid, height, width, cfg,
                                        theta_range)
         out = model.apply(variables, *inputs, train=False, stochastic=False)
@@ -73,6 +80,9 @@ def make_scan_segmenter(model, variables, cfg: dict, height: int, width: int,
             out = out[..., : nc - 1]
         seg = jnp.argmax(out[0], axis=-1).astype(jnp.int32)
         return back_project(seg, flat), seg
+
+    def run(points, valid):
+        return _run(variables, points, valid)
 
     return run
 
@@ -101,7 +111,7 @@ def make_mc_scan_segmenter(model, variables, cfg: dict, height: int,
 
     if not use_pallas_tail:
         @jax.jit
-        def run(points, valid, rng):
+        def _run(variables, points, valid, rng):
             inputs, flat = preprocess_scan(points, valid, height, width,
                                            cfg, theta_range)
             p_bar, h_norm, mi_norm = mc.mc_predictive_summaries(
@@ -110,12 +120,15 @@ def make_mc_scan_segmenter(model, variables, cfg: dict, height: int,
             seg = jnp.argmax(p_bar[0], axis=-1).astype(jnp.int32)
             return back_project(seg, flat), seg, h_norm[0], mi_norm[0]
 
+        def run(points, valid, rng):
+            return _run(variables, points, valid, rng)
+
         return run
 
     mega = mc.can_megatail(model, height, width, class_slice=nc)
 
     @jax.jit
-    def stage_trunk(points, valid, rng):
+    def stage_trunk(variables, points, valid, rng):
         inputs, flat = preprocess_scan(points, valid, height, width, cfg,
                                        theta_range)
         fused = model.apply(variables, *inputs, train=False,
@@ -129,7 +142,7 @@ def make_mc_scan_segmenter(model, variables, cfg: dict, height: int,
                            method=model.head_mc_pre), flat
 
     @jax.jit
-    def stage_tail(y1, flat, rng):
+    def stage_tail(variables, y1, flat, rng):
         if mega:
             p_bar, h_norm, mi_norm = mc.mc_megatail_fused_summaries(
                 model, variables, y1, rng, n_samples,
@@ -142,8 +155,8 @@ def make_mc_scan_segmenter(model, variables, cfg: dict, height: int,
         return back_project(seg, flat), seg, h_norm[0], mi_norm[0]
 
     def run(points, valid, rng):
-        y1, flat = stage_trunk(points, valid, rng)
-        return stage_tail(y1, flat, rng)
+        y1, flat = stage_trunk(variables, points, valid, rng)
+        return stage_tail(variables, y1, flat, rng)
 
     return run
 
@@ -171,32 +184,35 @@ def make_fidnet_pipeline(model, variables, use_fused_aspp: bool | None = None,
 
     if not use_fused_aspp:
         @jax.jit
-        def run(x):
+        def _run(variables, x):
             return model.apply(variables, x, train=False, stochastic=False)
+
+        def run(x):
+            return _run(variables, x)
         return run
 
     folded = pa.fold_fidnet_aspp(variables)
 
     @jax.jit
-    def stage_pre(x):
+    def stage_pre(variables, x):
         return model.apply(variables, x, train=False,
                            method=FIDNet.pre_aspp)
 
     @jax.jit
-    def stage_aspp(res):
+    def stage_aspp(folded, res):
         return pa.fused_aspp(res, *folded, wt=wt,
                              interpret=(jax.default_backend() != "tpu"))
 
     @jax.jit
-    def stage_post(res, aspp_out):
+    def stage_post(variables, res, aspp_out):
         return model.apply(variables, res, aspp_out, train=False,
                            method=FIDNet.post_aspp)
 
     def run(x):
-        res = stage_pre(x)
+        res = stage_pre(variables, x)
         if not pa.can_fused_aspp(res.shape):
-            return stage_post(res, model.apply(
+            return stage_post(variables, res, model.apply(
                 variables, res, train=False, method=FIDNet.aspp))
-        return stage_post(res, stage_aspp(res))
+        return stage_post(variables, res, stage_aspp(folded, res))
 
     return run

@@ -65,8 +65,11 @@ def make_batched_segmenter(model, variables, cfg: dict, height: int,
     """jitted: (points [B,N,>=4], valid [B,N]) ->
     (point_labels [B,N], seg [B,H,W])."""
 
+    # `variables` enters each jit as an ARGUMENT (see inference.py note):
+    # closed-over weights become module constants — minutes of trace+lower
+    # and ~weight-sized compile-cache entries for the big backbones.
     @jax.jit
-    def run(points, valid):
+    def _run(variables, points, valid):
         inputs, flat = _batched_inputs(points, valid, height, width,
                                        theta_range, cfg)
         out = model.apply(variables, *inputs, train=False, stochastic=False)
@@ -76,6 +79,9 @@ def make_batched_segmenter(model, variables, cfg: dict, height: int,
             out = out[..., : out.shape[-1] - 1]
         seg = jnp.argmax(out, axis=-1).astype(jnp.int32)
         return jax.vmap(back_project)(seg, flat), seg
+
+    def run(points, valid):
+        return _run(variables, points, valid)
 
     return run
 
@@ -97,7 +103,7 @@ def make_batched_mc_segmenter(model, variables, cfg: dict, height: int,
 
     if not mega:
         @jax.jit
-        def run(points, valid, rng):
+        def _run(variables, points, valid, rng):
             inputs, flat = _batched_inputs(points, valid, height, width,
                                            theta_range, cfg)
             p_bar, h_norm, mi_norm = mc.mc_predictive_summaries(
@@ -106,10 +112,13 @@ def make_batched_mc_segmenter(model, variables, cfg: dict, height: int,
             seg = jnp.argmax(p_bar, axis=-1).astype(jnp.int32)
             return jax.vmap(back_project)(seg, flat), seg, h_norm, mi_norm
 
+        def run(points, valid, rng):
+            return _run(variables, points, valid, rng)
+
         return run
 
     @jax.jit
-    def stage_trunk(points, valid, rng):
+    def stage_trunk(variables, points, valid, rng):
         inputs, flat = _batched_inputs(points, valid, height, width,
                                        theta_range, cfg)
         # dec1 runs inside the mega-kernel (fused-dec1 mode): the stage
@@ -119,7 +128,7 @@ def make_batched_mc_segmenter(model, variables, cfg: dict, height: int,
         return fused, flat
 
     @jax.jit
-    def stage_tail(fused, flat, rng):
+    def stage_tail(variables, fused, flat, rng):
         p_bar, h_norm, mi_norm = mc.mc_megatail_fused_summaries(
             model, variables, fused, rng, n_samples,
             temperature=temperature, class_slice=nc)
@@ -127,8 +136,8 @@ def make_batched_mc_segmenter(model, variables, cfg: dict, height: int,
         return jax.vmap(back_project)(seg, flat), seg, h_norm, mi_norm
 
     def run(points, valid, rng):
-        fused, flat = stage_trunk(points, valid, rng)
-        return stage_tail(fused, flat, rng)
+        fused, flat = stage_trunk(variables, points, valid, rng)
+        return stage_tail(variables, fused, flat, rng)
 
     return run
 

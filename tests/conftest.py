@@ -9,8 +9,15 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# Compile-speed knob for the single-core CI host: the suite's cold wall-clock
+# is XLA-compile dominated, and backend opt level 0 cuts each compile ~30%
+# (measured: test_dirichlet_training_runs_and_balances 123 s -> 89 s cold).
+# Semantics are unchanged — only CPU codegen quality, which the tiny test
+# shapes don't need — and the production TPU path never sees this flag.
+if "xla_backend_optimization_level" not in flags:
+    flags = (flags + " --xla_backend_optimization_level=0").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

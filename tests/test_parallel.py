@@ -123,6 +123,11 @@ def test_deterministic_spatial_sharded_forward_exact():
     np.testing.assert_allclose(out1, out2, atol=1e-4, rtol=1e-4)
 
 
+# slow: duplicate coverage — the same sharded-eval==single-device and
+# ragged-padding equalities are asserted every round by the driver-run
+# __graft_entry__.dryrun_multichip sub-checks 3 (spatial) and 4 (ragged)
+# on the flagship resnet18 config.
+@pytest.mark.slow
 def test_sharded_eval_step_matches_single_device_and_masks_ragged():
     """Sharded eval over a RAGGED batch (3 real samples on an 8-way mesh)
     must produce exactly the single-device statistics — pad samples are
@@ -188,6 +193,9 @@ def test_trainer_mesh_epoch_end_to_end():
     assert int(tr.iou_evaluator.confmat[1:].sum()) == n_real
 
 
+# slow: duplicate coverage — dryrun_multichip sub-check 2 (mc_shard) asserts
+# this exact eval_batch routing + equality on the flagship config each round.
+@pytest.mark.slow
 def test_mc_eval_batch_routes_sample_sharding():
     """The PRODUCT path (Trainer.eval_batch) with MC on a mesh and a bs=1
     batch must use the sample-sharded eval step (batch replicated, T MC
@@ -226,6 +234,10 @@ def test_mc_eval_batch_routes_sample_sharding():
             assert drift <= max(16, 1e-3 * n_pix), (key, drift)
 
 
+# slow: duplicate coverage — the same sample-sharded==single-device MC law
+# is asserted (through the product eval_batch route) by dryrun_multichip
+# sub-check 2 every round, and the routing test above pins the Trainer glue.
+@pytest.mark.slow
 def test_mc_sample_sharding_matches_single_device():
     """T MC samples sharded over the data axis == single-device vmapped MC
     (same keys, same dropout masks), exactly."""
