@@ -56,9 +56,37 @@ def back_project(seg_image: jnp.ndarray, flat_idx: jnp.ndarray) -> jnp.ndarray:
     return seg_image.reshape(-1)[flat]
 
 
-def make_scan_segmenter(model, variables, cfg: dict, height: int, width: int,
-                        theta_range=None):
-    """jitted: (points [N,>=4], valid [N]) -> (point_labels [N], seg [H,W])."""
+def _scan_images(points, valid, height, width, theta_range):
+    """Per-scan projected images (unbatched; lax.map'd by batched_inputs)."""
+    img = proj.spherical_projection(points[:, :4], valid, height, width,
+                                    theta_range=theta_range)
+    xyz = img[..., 0:3]
+    rng_img = jnp.linalg.norm(xyz, axis=-1, keepdims=True)
+    refl = img[..., 3:4]
+    normals = nrm.build_normal_xyz(xyz)
+    flat = proj.projection_indices(points[:, 0:3], valid, height, width,
+                                   theta_range)
+    return rng_img, refl, xyz, normals, flat
+
+
+def batched_inputs(points, valid, height, width, theta_range, cfg):
+    """[B,N,>=4] padded points -> (model inputs [B,H,W,C], flat idx [B,N]).
+
+    lax.map, NOT vmap: the projection's multi-key sort lowers ~3x worse
+    per scan when batched (v5e bs4: 26.1 ms vmapped vs 8.2 sequential —
+    tools/bench_serving.py history); the per-scan sorts are large enough
+    to saturate the chip on their own, so sequencing them loses nothing.
+    """
+    r, refl, xyz, normals, flat = jax.lax.map(
+        lambda pv: _scan_images(pv[0], pv[1], height, width, theta_range),
+        (points, valid))
+    return registry.set_model_inputs(r, refl, xyz, normals, cfg), flat
+
+
+def make_batched_segmenter(model, variables, cfg: dict, height: int,
+                           width: int, theta_range=None):
+    """jitted: (points [B,N,>=4], valid [B,N]) ->
+    (point_labels [B,N], seg [B,H,W])."""
 
     # `variables` is a jit ARGUMENT in every pipeline below, never a
     # closure: a closed-over param tree is embedded into the lowered module
@@ -69,17 +97,15 @@ def make_scan_segmenter(model, variables, cfg: dict, height: int, width: int,
     # tree keeps modules small; the weights stay device-resident either way.
     @jax.jit
     def _run(variables, points, valid):
-        inputs, flat = preprocess_scan(points, valid, height, width, cfg,
-                                       theta_range)
+        inputs, flat = batched_inputs(points, valid, height, width,
+                                      theta_range, cfg)
         out = model.apply(variables, *inputs, train=False, stochastic=False)
         if isinstance(out, (list, tuple)):
             out = out[0]
-        nc = out.shape[-1]
-        loss_name = cfg["model_settings"].get("loss_function")
-        if loss_name == "Dirichlet":
-            out = out[..., : nc - 1]
-        seg = jnp.argmax(out[0], axis=-1).astype(jnp.int32)
-        return back_project(seg, flat), seg
+        if cfg["model_settings"].get("loss_function") == "Dirichlet":
+            out = out[..., : out.shape[-1] - 1]
+        seg = jnp.argmax(out, axis=-1).astype(jnp.int32)
+        return jax.vmap(back_project)(seg, flat), seg
 
     def run(points, valid):
         return _run(variables, points, valid)
@@ -87,11 +113,12 @@ def make_scan_segmenter(model, variables, cfg: dict, height: int, width: int,
     return run
 
 
-def make_mc_scan_segmenter(model, variables, cfg: dict, height: int,
-                           width: int, n_samples: int = 20, theta_range=None,
-                           use_pallas_tail: bool | None = None):
-    """jit-backed callable: (points, valid, rng) ->
-    (point_labels, seg [H,W], h_norm [H,W], mi_norm [H,W]).
+def make_batched_mc_segmenter(model, variables, cfg: dict, height: int,
+                              width: int, n_samples: int = 20,
+                              theta_range=None,
+                              use_pallas_tail: bool | None = None):
+    """jit-backed: (points [B,N,>=4], valid [B,N], rng) ->
+    (point_labels [B,N], seg, h_norm, mi_norm [B,H,W]).
 
     On TPU, models supporting the fused Pallas tail run as a SPLIT pipeline
     of two executables — (projection -> trunk -> folded-dropout dec1) and
@@ -112,13 +139,13 @@ def make_mc_scan_segmenter(model, variables, cfg: dict, height: int,
     if not use_pallas_tail:
         @jax.jit
         def _run(variables, points, valid, rng):
-            inputs, flat = preprocess_scan(points, valid, height, width,
-                                           cfg, theta_range)
+            inputs, flat = batched_inputs(points, valid, height, width,
+                                          theta_range, cfg)
             p_bar, h_norm, mi_norm = mc.mc_predictive_summaries(
                 model, variables, tuple(inputs), rng, n_samples,
                 temperature=temperature, class_slice=nc)
-            seg = jnp.argmax(p_bar[0], axis=-1).astype(jnp.int32)
-            return back_project(seg, flat), seg, h_norm[0], mi_norm[0]
+            seg = jnp.argmax(p_bar, axis=-1).astype(jnp.int32)
+            return jax.vmap(back_project)(seg, flat), seg, h_norm, mi_norm
 
         def run(points, valid, rng):
             return _run(variables, points, valid, rng)
@@ -129,8 +156,8 @@ def make_mc_scan_segmenter(model, variables, cfg: dict, height: int,
 
     @jax.jit
     def stage_trunk(variables, points, valid, rng):
-        inputs, flat = preprocess_scan(points, valid, height, width, cfg,
-                                       theta_range)
+        inputs, flat = batched_inputs(points, valid, height, width,
+                                      theta_range, cfg)
         fused = model.apply(variables, *inputs, train=False,
                             method=model.features)
         if mega:
@@ -151,12 +178,51 @@ def make_mc_scan_segmenter(model, variables, cfg: dict, height: int,
             p_bar, h_norm, mi_norm = mc.mc_pallas_tail_summaries(
                 model, variables, y1, n_samples, temperature=temperature,
                 class_slice=nc)
-        seg = jnp.argmax(p_bar[0], axis=-1).astype(jnp.int32)
-        return back_project(seg, flat), seg, h_norm[0], mi_norm[0]
+        seg = jnp.argmax(p_bar, axis=-1).astype(jnp.int32)
+        return jax.vmap(back_project)(seg, flat), seg, h_norm, mi_norm
 
     def run(points, valid, rng):
         y1, flat = stage_trunk(variables, points, valid, rng)
         return stage_tail(variables, y1, flat, rng)
+
+    return run
+
+
+def make_scan_segmenter(model, variables, cfg: dict, height: int, width: int,
+                        theta_range=None):
+    """jitted: (points [N,>=4], valid [N]) -> (point_labels [N], seg [H,W]).
+
+    Implemented AS the batched segmenter at B=1: single-scan and batched
+    serving share one traced program, so a scan served alone and the same
+    scan served in a batch of one are bit-identical by construction — no
+    reliance on XLA rounding two differently-fused compilations the same
+    way (tests/test_serve.py)."""
+    run_b = make_batched_segmenter(model, variables, cfg, height, width,
+                                   theta_range)
+
+    def run(points, valid):
+        labels, seg = run_b(points[None], valid[None])
+        return labels[0], seg[0]
+
+    return run
+
+
+def make_mc_scan_segmenter(model, variables, cfg: dict, height: int,
+                           width: int, n_samples: int = 20, theta_range=None,
+                           use_pallas_tail: bool | None = None):
+    """jit-backed callable: (points, valid, rng) ->
+    (point_labels, seg [H,W], h_norm [H,W], mi_norm [H,W]).
+
+    B=1 wrapper over `make_batched_mc_segmenter` (same shared-program
+    guarantee as `make_scan_segmenter`); the split Pallas pipeline notes
+    there apply unchanged."""
+    run_b = make_batched_mc_segmenter(model, variables, cfg, height, width,
+                                      n_samples, theta_range,
+                                      use_pallas_tail)
+
+    def run(points, valid, rng):
+        labels, seg, h_norm, mi_norm = run_b(points[None], valid[None], rng)
+        return labels[0], seg[0], h_norm[0], mi_norm[0]
 
     return run
 

@@ -56,24 +56,34 @@ def scharr_uv(img: jnp.ndarray, norm_factor: float = 0.25) -> jnp.ndarray:
     return jnp.stack([du, dv], axis=-1)
 
 
+# When the tangent vectors are (near-)parallel the cross product is ~0 and
+# the *normalized* normal is numerically undefined: its direction is set by
+# float rounding, which differs between compile contexts (XLA fuses the
+# Scharr conv differently inside lax.map vs inline, so the same scan can get
+# opposite normals at such pixels depending on batching). The reference has
+# the same degeneracy (cv2 + /(norm+1e-10), src/dataset/utils.py:48-59) and
+# emits rounding-defined garbage there; we make those pixels a deterministic
+# zero vector instead: undefined when |S_u x S_v| <= tau * |S_u| |S_v|
+# (sin of the tangent angle below tau — ~0.006 degrees at 1e-4).
+_DEGENERATE_SIN_TAU = 1e-4
+
+
 @functools.partial(jax.jit, static_argnames=("norm_factor",))
 def build_normal_xyz(xyz: jnp.ndarray, norm_factor: float = 0.25) -> jnp.ndarray:
     """Per-pixel surface normals of an (H, W, 3) xyz image.
 
     normal = -( S_u x S_v ) / ||.||, with S_u, S_v the Scharr tangent vectors
-    (reference: src/dataset/utils.py:48-59).
+    (reference: src/dataset/utils.py:48-59); numerically undefined normals
+    (near-parallel tangents) are zeroed — see _DEGENERATE_SIN_TAU.
     """
     g = scharr_uv(xyz, norm_factor)        # (H, W, 3, 2)
-    sx_u, sx_v = g[..., 0, 0], g[..., 0, 1]
-    sy_u, sy_v = g[..., 1, 0], g[..., 1, 1]
-    sz_u, sz_v = g[..., 2, 0], g[..., 2, 1]
-    normal = -jnp.stack([
-        sy_u * sz_v - sz_u * sy_v,
-        sz_u * sx_v - sz_v * sx_u,
-        sx_u * sy_v - sy_u * sx_v,
-    ], axis=-1)
-    n = jnp.linalg.norm(normal, axis=-1, keepdims=True) + 1e-10
-    return normal / n
+    s_u, s_v = g[..., 0], g[..., 1]        # (H, W, 3) tangent vectors
+    normal = -jnp.cross(s_u, s_v)
+    n = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    tangent_scale = (jnp.linalg.norm(s_u, axis=-1, keepdims=True)
+                     * jnp.linalg.norm(s_v, axis=-1, keepdims=True))
+    defined = n > _DEGENERATE_SIN_TAU * tangent_scale
+    return jnp.where(defined, normal / (n + 1e-10), 0.0)
 
 
 def build_normal_xyz_np(xyz: np.ndarray, norm_factor: float = 0.25) -> np.ndarray:
@@ -87,13 +97,10 @@ def build_normal_xyz_np(xyz: np.ndarray, norm_factor: float = 0.25) -> np.ndarra
             patch = pad[dy:dy + h, dx:dx + w, :]
             for d in range(2):
                 der[..., d] += patch * k[dy, dx, d]
-    sx_u, sx_v = der[..., 0, 0], der[..., 0, 1]
-    sy_u, sy_v = der[..., 1, 0], der[..., 1, 1]
-    sz_u, sz_v = der[..., 2, 0], der[..., 2, 1]
-    normal = -np.dstack([
-        sy_u * sz_v - sz_u * sy_v,
-        sz_u * sx_v - sz_v * sx_u,
-        sx_u * sy_v - sy_u * sx_v,
-    ])
-    n = np.linalg.norm(normal, axis=2) + 1e-10
-    return normal / n[..., None]
+    s_u, s_v = der[..., 0], der[..., 1]
+    normal = -np.cross(s_u, s_v)
+    n = np.linalg.norm(normal, axis=2, keepdims=True)
+    tangent_scale = (np.linalg.norm(s_u, axis=2, keepdims=True)
+                     * np.linalg.norm(s_v, axis=2, keepdims=True))
+    defined = n > _DEGENERATE_SIN_TAU * tangent_scale
+    return np.where(defined, normal / (n + 1e-10), 0.0).astype(np.float32)

@@ -9,10 +9,11 @@ calls.
 
 Two layers:
 
-- `make_batched_mc_segmenter` / `make_batched_segmenter`: ONE jitted
-  computation taking a [B, N, 4+] padded point batch straight to per-point
-  labels (+ H/MI maps for MC) — the batched generalization of
-  `inference.make_(mc_)scan_segmenter`; nothing leaves HBM in between.
+- `make_batched_mc_segmenter` / `make_batched_segmenter` (defined in
+  `inference.py`, re-exported here): ONE jitted computation taking a
+  [B, N, 4+] padded point batch straight to per-point labels (+ H/MI maps
+  for MC); the single-scan segmenters are the same traced program at B=1,
+  so batched and single-scan serving are bit-identical by construction.
 - `ScanServer`: a host-side driver that groups an incoming scan stream into
   batches and keeps ONE batch in flight: batch i+1 is dispatched before
   batch i's results are fetched, so host I/O (reading scans, consuming
@@ -29,117 +30,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .inference import back_project
-from .models import registry
-from .ops import normals as nrm
-from .ops import projection as proj
-from .prob import mc_dropout as mc
-
-
-def _scan_images(points, valid, height, width, theta_range):
-    """Per-scan projected images (unbatched; lax.map'd by the callers)."""
-    img = proj.spherical_projection(points[:, :4], valid, height, width,
-                                    theta_range=theta_range)
-    xyz = img[..., 0:3]
-    rng_img = jnp.linalg.norm(xyz, axis=-1, keepdims=True)
-    refl = img[..., 3:4]
-    normals = nrm.build_normal_xyz(xyz)
-    flat = proj.projection_indices(points[:, 0:3], valid, height, width,
-                                   theta_range)
-    return rng_img, refl, xyz, normals, flat
-
-
-def _batched_inputs(points, valid, height, width, theta_range, cfg):
-    # lax.map, NOT vmap: the projection's multi-key sort lowers ~3x worse
-    # per scan when batched (v5e bs4: 26.1 ms vmapped vs 8.2 sequential —
-    # tools/bench_serving.py history); the per-scan sorts are large enough
-    # to saturate the chip on their own, so sequencing them loses nothing
-    r, refl, xyz, normals, flat = jax.lax.map(
-        lambda pv: _scan_images(pv[0], pv[1], height, width, theta_range),
-        (points, valid))
-    return registry.set_model_inputs(r, refl, xyz, normals, cfg), flat
-
-
-def make_batched_segmenter(model, variables, cfg: dict, height: int,
-                           width: int, theta_range=None):
-    """jitted: (points [B,N,>=4], valid [B,N]) ->
-    (point_labels [B,N], seg [B,H,W])."""
-
-    # `variables` enters each jit as an ARGUMENT (see inference.py note):
-    # closed-over weights become module constants — minutes of trace+lower
-    # and ~weight-sized compile-cache entries for the big backbones.
-    @jax.jit
-    def _run(variables, points, valid):
-        inputs, flat = _batched_inputs(points, valid, height, width,
-                                       theta_range, cfg)
-        out = model.apply(variables, *inputs, train=False, stochastic=False)
-        if isinstance(out, (list, tuple)):
-            out = out[0]
-        if cfg["model_settings"].get("loss_function") == "Dirichlet":
-            out = out[..., : out.shape[-1] - 1]
-        seg = jnp.argmax(out, axis=-1).astype(jnp.int32)
-        return jax.vmap(back_project)(seg, flat), seg
-
-    def run(points, valid):
-        return _run(variables, points, valid)
-
-    return run
-
-
-def make_batched_mc_segmenter(model, variables, cfg: dict, height: int,
-                              width: int, n_samples: int = 20,
-                              theta_range=None):
-    """jit-backed: (points [B,N,>=4], valid [B,N], rng) ->
-    (point_labels [B,N], seg, h_norm, mi_norm [B,H,W]).
-
-    On TPU with a qualifying model this is the same split pipeline as
-    inference.make_mc_scan_segmenter (trunk executable + Pallas mega-tail
-    executable — see that docstring), batched over B scans."""
-    is_dirichlet = cfg["model_settings"].get("loss_function") == "Dirichlet"
-    nc = (getattr(model, "num_classes", 0) - 1) if is_dirichlet else None
-    temperature = cfg.get("extras", {}).get("temperature")
-    mega = (jax.default_backend() == "tpu"
-            and mc.can_megatail(model, height, width, class_slice=nc))
-
-    if not mega:
-        @jax.jit
-        def _run(variables, points, valid, rng):
-            inputs, flat = _batched_inputs(points, valid, height, width,
-                                           theta_range, cfg)
-            p_bar, h_norm, mi_norm = mc.mc_predictive_summaries(
-                model, variables, tuple(inputs), rng, n_samples,
-                temperature=temperature, class_slice=nc)
-            seg = jnp.argmax(p_bar, axis=-1).astype(jnp.int32)
-            return jax.vmap(back_project)(seg, flat), seg, h_norm, mi_norm
-
-        def run(points, valid, rng):
-            return _run(variables, points, valid, rng)
-
-        return run
-
-    @jax.jit
-    def stage_trunk(variables, points, valid, rng):
-        inputs, flat = _batched_inputs(points, valid, height, width,
-                                       theta_range, cfg)
-        # dec1 runs inside the mega-kernel (fused-dec1 mode): the stage
-        # boundary carries the fused pyramid, not the T*C1 activations
-        fused = model.apply(variables, *inputs, train=False,
-                            method=model.features)
-        return fused, flat
-
-    @jax.jit
-    def stage_tail(variables, fused, flat, rng):
-        p_bar, h_norm, mi_norm = mc.mc_megatail_fused_summaries(
-            model, variables, fused, rng, n_samples,
-            temperature=temperature, class_slice=nc)
-        seg = jnp.argmax(p_bar, axis=-1).astype(jnp.int32)
-        return jax.vmap(back_project)(seg, flat), seg, h_norm, mi_norm
-
-    def run(points, valid, rng):
-        fused, flat = stage_trunk(variables, points, valid, rng)
-        return stage_tail(variables, fused, flat, rng)
-
-    return run
+from .inference import (make_batched_mc_segmenter,  # noqa: F401 (re-export)
+                        make_batched_segmenter)
 
 
 class ScanServer:
