@@ -97,6 +97,9 @@ def main(args):
         # must land before any jax op; some accelerator plugins ignore the
         # JAX_PLATFORMS env var, the config knob is always honored
         import jax
+        if args.platform == "cpu":
+            from ..utils import compile_cache
+            compile_cache.pin_cpu_isa()
         jax.config.update("jax_platforms", args.platform)
     from ..utils import config as cfg_util
 

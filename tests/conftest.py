@@ -17,6 +17,12 @@ if "xla_force_host_platform_device_count" not in flags:
 # shapes don't need — and the production TPU path never sees this flag.
 if "xla_backend_optimization_level" not in flags:
     flags = (flags + " --xla_backend_optimization_level=0").strip()
+# Portable-ISA clamp: silences the AOT loader's same-host pseudo-feature
+# false positive and makes cached CPU executables host-portable (see
+# compile_cache.pin_cpu_isa). Inline here because XLA_FLAGS must be final
+# before the jax import below.
+if "xla_cpu_max_isa" not in flags:
+    flags = (flags + " --xla_cpu_max_isa=AVX2").strip()
 os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
@@ -27,15 +33,12 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the suite's wall-clock is dominated by XLA
 # compiles of the parity/mesh jits; caching them across runs cuts repeat runs
-# from ~27 min toward the actual compute time. (CPU-backend caching must be
-# enabled explicitly; 0-second thresholds cache everything.)
-_cache_dir = os.environ.get("SLU_JAX_CACHE",
-                            "/root/repo/.jax_cache")
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-jax.config.update("jax_persistent_cache_enable_xla_caches",
-                  "all")
+# from ~27 min toward the actual compute time. compile_cache.enable() keys
+# the directory by a host-CPU fingerprint so AOT executables compiled on a
+# different machine are never loaded (SIGILL hazard).
+from semanticlidarunc_tpu.utils import compile_cache  # noqa: E402
+
+compile_cache.enable()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
