@@ -61,9 +61,20 @@ import jax.numpy as jnp
 # Persistent compilation cache: fresh XLA compiles through this
 # environment's remote-compile tunnel cost minutes; caching makes repeat
 # bench runs (and the driver's end-of-round run) near-instant to warm up.
+# On TPU the cache lives in the COMMITTED bench_cache/ directory so it
+# rides the repo into the driver's clean checkout (round 4 lesson: the
+# gitignored .jax_cache/ left the driver's bench run fully cold, ~21 min
+# of compile against its budget). Sharing this dir across hosts is safe
+# because it only ever holds TPU executables — the host-fingerprint
+# keying in compile_cache exists for the CPU AOT SIGILL hazard, which a
+# TPU-only cache cannot hit.
 from semanticlidarunc_tpu.utils import compile_cache  # noqa: E402
 
-compile_cache.enable()
+if jax.default_backend() == "tpu":
+    compile_cache.enable(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_cache"))
+else:
+    compile_cache.enable()
 
 _T0 = time.monotonic()
 
@@ -82,10 +93,14 @@ TRAIN_BS = 8                            # reference KITTI 64x2048 batch size
 REFERENCE_GPU_SCANS_PER_SEC = 2.29
 H100_FACTOR = 2.5                       # assumed H100 speedup over that GPU
 BASELINE_SCANS_PER_SEC = REFERENCE_GPU_SCANS_PER_SEC * H100_FACTOR
-N_ITERS = 50
-# total wall budget (s) before we skip the optional train-step metric so the
-# primary metric always prints inside the driver's timeout
-BUDGET_S = float(os.environ.get("SLU_BENCH_BUDGET_S", "520"))
+# 20 chained iterations: at ~65 scans/s the measurement itself is <0.5 s —
+# compile time is the entire cost, so more repeats buy no precision
+N_ITERS = 20
+# total wall budget (s) before we skip the optional metrics so the primary
+# metric always prints inside the driver's timeout. Round-4 driver evidence:
+# its run was still being recorded after ~1580 s of compile, so the old 520 s
+# self-limit skipped the optional metrics far too early.
+BUDGET_S = float(os.environ.get("SLU_BENCH_BUDGET_S", "1500"))
 
 
 def _timed_slope(chained_fn, n_iters: int) -> float:
@@ -104,7 +119,7 @@ def _timed_slope(chained_fn, n_iters: int) -> float:
 def main():
     from semanticlidarunc_tpu import inference
     from semanticlidarunc_tpu.dataset.synthetic import make_scan
-    from semanticlidarunc_tpu.models import registry
+    from semanticlidarunc_tpu.models import fastinit, registry
     from semanticlidarunc_tpu.ops.projection import pad_points
     from semanticlidarunc_tpu.prob import mc_dropout as mc
     from semanticlidarunc_tpu.utils import config as cfg_util
@@ -129,10 +144,12 @@ def main():
 
     key = jax.random.PRNGKey(0)
     inputs0, _ = inference.preprocess_scan(points, valid, H, W, cfg)
-    _mark("preprocess done, initializing model")
-    variables = model.init({"params": key, "dropout": key}, *inputs0,
-                           train=False)
-    _mark("model.init done")
+    _mark("preprocess done, materializing params")
+    # eval_shape + host-side materialization instead of a compiled init run
+    # (the traced init alone cost 334 s in the round-4 driver run); random
+    # He-scaled weights are equivalent for throughput measurement
+    variables = fastinit.random_variables(model, inputs0, key)
+    _mark("params materialized")
 
     # NOTE: every jitted function below takes `variables` (and any other
     # large array) as an ARGUMENT, never as a Python closure. A closed-over
@@ -324,7 +341,7 @@ def train_step_bench():
     metric's budget. Reference train protocol: trainer.py:455-787."""
     from semanticlidarunc_tpu.dataset.pipeline import (DataLoader,
                                                        SyntheticDataset)
-    from semanticlidarunc_tpu.models import registry
+    from semanticlidarunc_tpu.models import fastinit, registry
     from semanticlidarunc_tpu.train.trainer import Trainer
     from semanticlidarunc_tpu.utils import config as cfg_util
 
@@ -346,7 +363,12 @@ def train_step_bench():
     loader = DataLoader(ds, batch_size=TRAIN_BS, shuffle=False)
     tr = Trainer(model, cfg)
     batch = tr.place_batch(next(iter(loader)))
-    state = tr.create_state(batch, num_epochs=1, steps_per_epoch=1)
+    inputs = registry.set_model_inputs(
+        jnp.asarray(batch["range"]), jnp.asarray(batch["reflectivity"]),
+        jnp.asarray(batch["xyz"]), jnp.asarray(batch["normals"]), cfg)
+    variables = fastinit.random_variables(model, inputs, jax.random.PRNGKey(0))
+    state = tr.create_state(batch, num_epochs=1, steps_per_epoch=1,
+                            variables=variables)
     wv = tr._weights_vec()
     key = jax.random.PRNGKey(0)
 

@@ -119,7 +119,7 @@ def _edge_corr(even, odd, k_flat):
 
 
 def _kernel(h2, w2, c1, c2, cout, k, g1, g2, g3, rg, t_total, flat, cf,
-            *refs):
+            elu, *refs):
     if cf is not None:
         # fused-dec1 mode: the trunk's fused pyramid comes in instead of
         # y1; dec1 (the folded-dropout wide conv) runs IN-KERNEL, so the
@@ -128,13 +128,13 @@ def _kernel(h2, w2, c1, c2, cout, k, g1, g2, g3, rg, t_total, flat, cf,
         (x_hbm, wd1_ref, mask_ref, wu2_ref, wuup_ref, kup_ref,
          sc1_ref, bi1_ref, sc2_ref, bi2_ref, sc3_ref, bi3_ref,
          sel1_ref, sel2_ref, sel3_ref,
-         wbig_ref, bbig_ref, gsel_ref,
+         wbig_ref, bbig_ref, gsel_ref, it_ref,
          out_ref, f_scr, y_scr, z2_scr, act_scr, sem) = refs
     else:
         (y1_hbm, wu2_ref, wuup_ref, kup_ref,
          sc1_ref, bi1_ref, sc2_ref, bi2_ref, sc3_ref, bi3_ref,
          sel1_ref, sel2_ref, sel3_ref,
-         wbig_ref, bbig_ref, gsel_ref,
+         wbig_ref, bbig_ref, gsel_ref, it_ref,
          out_ref, y_scr, z2_scr, act_scr, sem) = refs
     bi = pl.program_id(0)
     t = pl.program_id(1)
@@ -329,6 +329,12 @@ def _kernel(h2, w2, c1, c2, cout, k, g1, g2, g3, rg, t_total, flat, cf,
         y4 = jnp.maximum(af * a3 + b3, 0.0)
         lg = jnp.dot(y4.astype(wbig_ref.dtype), wbig_ref[:],
                      preferred_element_type=jnp.float32) + bbig_ref[:]
+        if elu:
+            # elu_plus_one head epilogue (reference semanticFCN.py:237-246),
+            # calibration temperature applied post-activation (nonlinear —
+            # cannot fold into wl/bl); order matches models/fpn.py _logits
+            lg = (jnp.where(lg > 0, lg, jnp.exp(lg) - 1.0)
+                  + 1.0) * it_ref[0, 0]
         m_b = jnp.zeros_like(lg)
         m_q = []
         for q in range(4):
@@ -358,10 +364,10 @@ def _pick_rg(h2: int, target: int = 8) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "row_group",
-                                             "n_samples"))
+                                             "n_samples", "elu"))
 def mc_megatail(y1, params: dict, wl, bl, interpret: bool = False,
                 row_group: int | None = None, n_samples: int | None = None,
-                masks=None):
+                masks=None, elu: bool = False, inv_temp=None):
     """(p_sum [B, h, w, 2, 2, K], h_sum [B, h, w, 2, 2]) summed over T.
 
     y1: the raw dec1 output (pre-GN1) — either [T, B, h, w, C1], or the
@@ -374,8 +380,9 @@ def mc_megatail(y1, params: dict, wl, bl, interpret: bool = False,
     exist in HBM (168 MB at bench scale) and the split-pipeline boundary
     carries only the pyramid. params: the model's variables["params"] FPN
     subtree (dec1_kernel / dec1_gn / dec2 / dec_up). wl [C', K] / bl [K]:
-    the 1x1 logits head with temperature and class slice already folded in
-    by the caller.
+    the 1x1 logits head with class slice (and, for raw-logit heads,
+    temperature) already folded in by the caller; `elu=True` applies the
+    elu_plus_one head epilogue in-kernel with `inv_temp` post-activation.
     """
     from ..models.layers import gn_groups
     from .upconv import fold_kernel
@@ -441,9 +448,11 @@ def mc_megatail(y1, params: dict, wl, bl, interpret: bool = False,
         dec1_args = [wd1, masks.astype(jnp.float32)]
         dec1_scratch = [pltpu.VMEM((h2, w2, cf), y1.dtype)]
 
+    it = jnp.asarray(1.0 if inv_temp is None else inv_temp,
+                     jnp.float32).reshape(1, 1)
     out = pl.pallas_call(
         functools.partial(_kernel, h2, w2, c1, c2, cout, k, g1, g2, g3,
-                          rg, t, flat, cf),
+                          rg, t, flat, cf, elu),
         grid=(b, t),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),             # y1 / fused
@@ -453,7 +462,7 @@ def mc_megatail(y1, params: dict, wl, bl, interpret: bool = False,
             full((1, c1)), full((1, c1)), full((1, c2)), full((1, c2)),
             full((1, pc)), full((1, pc)),
             full((g1, c1)), full((g2, c2)), full((g3, pc)),
-            full((pc, pk)), full((1, pk)), full((pk, 4)),
+            full((pc, pk)), full((1, pk)), full((pk, 4)), full((1, 1)),
         ],
         out_specs=[
             pl.BlockSpec((1, n, 128), lambda bi_, ti: (bi_, 0, 0),
@@ -475,7 +484,7 @@ def mc_megatail(y1, params: dict, wl, bl, interpret: bool = False,
       v1(gnp2["bias"]), v1(sc3[0]).reshape(1, pc),
       v1(bi3[0]).reshape(1, pc),
       sel(g1, c1), sel(g2, c2), sel(g3, cout, per_phase=4),
-      wbig.astype(y1.dtype), bbig.astype(jnp.float32), gsel)[0]
+      wbig.astype(y1.dtype), bbig.astype(jnp.float32), gsel, it)[0]
 
     p_sum = out[:, :, :pk].reshape(b, h2, w2, 2, 2, k)
     h_sum = out[:, :, pk:pk + 4].reshape(b, h2, w2, 2, 2)

@@ -39,8 +39,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(act_ref, a_ref, b_ref, wbig_ref, bbig_ref, gsel_ref,
-            p_ref, h_ref):
+def _kernel(elu, act_ref, a_ref, b_ref, wbig_ref, bbig_ref, gsel_ref,
+            it_ref, p_ref, h_ref):
     t = pl.program_id(2)
 
     @pl.when(t == 0)
@@ -55,6 +55,13 @@ def _kernel(act_ref, a_ref, b_ref, wbig_ref, bbig_ref, gsel_ref,
     # einsum precision).
     lg = jnp.dot(y.astype(wbig_ref.dtype), wbig_ref[:],
                  preferred_element_type=jnp.float32) + bbig_ref[:]
+    if elu:
+        # elu_plus_one head epilogue (reference semanticFCN.py:237-246):
+        # softmax runs over elu(lg)+1, with the calibration temperature
+        # applied post-activation (it cannot fold into wl/bl — elu is
+        # nonlinear). Matches models/fpn.py _logits + the XLA tail's
+        # temperature division order.
+        lg = (jnp.where(lg > 0, lg, jnp.exp(lg) - 1.0) + 1.0) * it_ref[0, 0]
     # per-phase softmax WITHOUT any lane regrouping: a TRUE per-group max
     # (so a group whose max sits far below the row max cannot underflow —
     # extreme calibration temperatures fold a 100-1000x spread into wl/bl),
@@ -89,16 +96,22 @@ def _pick_rows(n: int, target: int = 2048) -> int:
     return n
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "rows"))
+@functools.partial(jax.jit, static_argnames=("interpret", "rows", "elu"))
 def mc_tail_reduce(act: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
                    wl: jnp.ndarray, bl: jnp.ndarray,
-                   interpret: bool = False, rows: int | None = None):
-    """(p_sum [B,N,P*K], h_sum [B,N,P]) accumulated over the T axis."""
+                   interpret: bool = False, rows: int | None = None,
+                   elu: bool = False, inv_temp=None):
+    """(p_sum [B,N,P*K], h_sum [B,N,P]) accumulated over the T axis.
+
+    `elu=True` applies the elu_plus_one head epilogue in-kernel (with the
+    calibration temperature as `inv_temp`, applied post-activation)."""
     t, bsz, n, pc = act.shape
     cin, k = wl.shape
     phases = pc // cin
     rows = _pick_rows(n) if rows is None else rows
     grid = (bsz, n // rows, t)
+    it = jnp.asarray(1.0 if inv_temp is None else inv_temp,
+                     jnp.float32).reshape(1, 1)
 
     # block-diagonal logits weights: [P*C, P*K], phase q's block = wl;
     # gsel [P*K, P] is the 0/1 per-phase group-sum indicator
@@ -109,7 +122,7 @@ def mc_tail_reduce(act: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
     gsel = jnp.repeat(jnp.eye(phases, dtype=jnp.float32), k, axis=0)
 
     p_sum, h_sum = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, elu),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, rows, pc), lambda bi, i, ti: (ti, bi, i, 0),
@@ -123,6 +136,8 @@ def mc_tail_reduce(act: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
             pl.BlockSpec((1, phases * k), lambda bi, i, ti: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((phases * k, phases), lambda bi, i, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda bi, i, ti: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -139,11 +154,11 @@ def mc_tail_reduce(act: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(act, a.astype(jnp.float32), b.astype(jnp.float32),
-      wbig.astype(act.dtype), bbig.astype(jnp.float32), gsel)
+      wbig.astype(act.dtype), bbig.astype(jnp.float32), gsel, it)
     return p_sum, h_sum
 
 
-def mc_tail_reduce_reference(act, a, b, wl, bl):
+def mc_tail_reduce_reference(act, a, b, wl, bl, elu=False, inv_temp=None):
     """Pure-JAX oracle with identical math (tests + non-TPU fallback)."""
     t, bsz, n, pc = act.shape
     cin, k = wl.shape
@@ -153,6 +168,9 @@ def mc_tail_reduce_reference(act, a, b, wl, bl):
                     + b[:, :, None, :].astype(jnp.float32), 0.0)
     y = y.reshape(t, bsz, n, phases, cin)
     logits = jnp.einsum("tbnpc,ck->tbnpk", y, wl.astype(jnp.float32)) + bl
+    if elu:
+        logits = (jax.nn.elu(logits) + 1.0) * (
+            1.0 if inv_temp is None else inv_temp)
     logp = jax.nn.log_softmax(logits, axis=-1)
     p = jnp.exp(logp)
     h = -jnp.sum(p * logp, axis=-1)

@@ -269,10 +269,50 @@ def dirichlet_health(alpha: jnp.ndarray, labels: jnp.ndarray,
     return out
 
 
+def _gamma_fixed_rounds(key: jax.Array, alpha: jnp.ndarray,
+                        n_rounds: int = 6, eps: float = EPS) -> jnp.ndarray:
+    """Gamma(alpha, 1) draws via UNROLLED Marsaglia-Tsang rejection.
+
+    `jax.random.gamma` lowers to a per-element rejection while_loop, which
+    (a) is a serialization point on the TPU VPU and (b) makes the GSPMD
+    partitioner pathologically slow when it appears in a sharded program
+    (round-5 measurement: the mesh eval step compiled in 273-477 s with the
+    while_loop sampler vs 7 s without it, even hidden inside a shard_map).
+    This version unrolls a FIXED number of Marsaglia-Tsang acceptance
+    rounds as straight-line elementwise code: per-round acceptance is
+    >= 0.95 for every alpha (with the standard +1 boost for alpha < 1), so
+    all n_rounds=6 rounds fail with probability < 1e-8, in which case the
+    mode-proportional candidate d = alpha_eff - 1/3 is used. The <1e-8
+    truncation bias is irrelevant for the MC-reliability diagram this
+    feeds (a 10-bin visualization statistic).
+    """
+    a = jnp.maximum(alpha.astype(jnp.float32), eps)
+    boost = a < 1.0
+    ae = jnp.where(boost, a + 1.0, a)
+    d = ae - 1.0 / 3.0
+    c = 1.0 / jnp.sqrt(9.0 * d)
+    val = d                          # fallback candidate (the mode of G(ae))
+    accepted = jnp.zeros(a.shape, bool)
+    for i in range(n_rounds):
+        kx, ku = jax.random.split(jax.random.fold_in(key, i))
+        x = jax.random.normal(kx, a.shape, jnp.float32)
+        v = (1.0 + c * x) ** 3
+        u = jax.random.uniform(ku, a.shape, jnp.float32, minval=eps)
+        ok = (v > 0) & (jnp.log(u) < 0.5 * x * x + d - d * v +
+                        d * jnp.log(jnp.maximum(v, eps)))
+        val = jnp.where(ok & ~accepted, d * v, val)
+        accepted |= ok
+    ub = jax.random.uniform(jax.random.fold_in(key, n_rounds), a.shape,
+                            jnp.float32, minval=eps)
+    val = val * jnp.where(boost, ub ** (1.0 / a), 1.0)
+    return jnp.maximum(val, eps)
+
+
 def sample_dirichlet(rng: jax.Array, alpha: jnp.ndarray,
                      n_samples: int) -> jnp.ndarray:
     """[M, ..., C] Dirichlet draws via normalized Gamma samples."""
-    g = jax.random.gamma(rng, jnp.broadcast_to(alpha, (n_samples,) + alpha.shape))
+    g = _gamma_fixed_rounds(
+        rng, jnp.broadcast_to(alpha, (n_samples,) + alpha.shape))
     return g / jnp.sum(g, axis=-1, keepdims=True)
 
 

@@ -171,7 +171,8 @@ def mc_fused_summaries(model, variables: Any, inputs: tuple, rng: jax.Array,
     t, b = y1.shape[0], y1.shape[1]
 
     can_pallas = (hasattr(model, "head_mc_tail_raw")
-                  and getattr(model, "head_activation", "none") == "none"
+                  and getattr(model, "head_activation", "none")
+                  in ("none", "elu_plus_one")
                   and y1.shape[2] >= 2 and y1.shape[3] >= 2)
     if use_pallas is None:
         # default OFF inside a caller's jit: a Mosaic custom call embedded
@@ -185,8 +186,8 @@ def mc_fused_summaries(model, variables: Any, inputs: tuple, rng: jax.Array,
         import warnings
         warnings.warn(
             "use_pallas=True requested but the model does not qualify "
-            "(needs head_mc_tail_raw and head_activation='none'; Dirichlet "
-            "elu_plus_one heads do not) — running the XLA tail instead.",
+            "(needs head_mc_tail_raw and a raw-logit or elu_plus_one "
+            "head) — running the XLA tail instead.",
             RuntimeWarning, stacklevel=2)
     if use_pallas and can_pallas:
         return mc_pallas_tail_summaries(model, variables, y1, n_samples,
@@ -232,11 +233,15 @@ def mc_fused_summaries(model, variables: Any, inputs: tuple, rng: jax.Array,
 
 def can_pallas_tail(model, height: int, width: int) -> bool:
     """True when `mc_pallas_tail_summaries` supports the model at this
-    input resolution (the FPN family with raw-logit heads; the tail runs
-    at half resolution, so the phase grid needs >= 2 rows/cols)."""
+    input resolution (the FPN family with raw-logit or elu_plus_one heads;
+    the tail runs at half resolution, so the phase grid needs >= 2
+    rows/cols). elu_plus_one runs as an in-kernel epilogue after the 1x1
+    head (reference semanticFCN.py:237-246 ELU+1), with the calibration
+    temperature applied post-activation instead of weight-folded."""
     return (hasattr(model, "head_mc_pre")
             and hasattr(model, "head_mc_tail_raw")
-            and getattr(model, "head_activation", "none") == "none"
+            and getattr(model, "head_activation", "none")
+            in ("none", "elu_plus_one")
             and height // 2 >= 2 and width // 2 >= 2)
 
 
@@ -263,15 +268,11 @@ def mc_megatail_summaries(model, variables: Any, y1_flat, n_samples: int,
     from ..ops import pallas_mc_megatail as pmm
 
     params = variables["params"]
-    wl = params["logits_conv"]["kernel"][0, 0]
-    bl = params["logits_conv"]["bias"]
-    if class_slice is not None:
-        wl, bl = wl[:, :class_slice], bl[:class_slice]
-    if temperature is not None:
-        temp = _temp(temperature)
-        wl, bl = (wl / temp).astype(wl.dtype), bl / temp
+    wl, bl, elu, inv_temp = _head_wl_bl(model, params, temperature,
+                                        class_slice)
     p_sum, h_sum = pmm.mc_megatail(
         y1_flat, params, wl, bl, n_samples=n_samples,
+        elu=elu, inv_temp=inv_temp,
         interpret=(jax.default_backend() != "tpu"))
     return _mc_epilogue(p_sum, h_sum, n_samples, eps)
 
@@ -292,18 +293,13 @@ def mc_megatail_fused_summaries(model, variables: Any, fused, rng,
     from ..ops import pallas_mc_megatail as pmm
 
     params = variables["params"]
-    wl = params["logits_conv"]["kernel"][0, 0]
-    bl = params["logits_conv"]["bias"]
-    if class_slice is not None:
-        wl, bl = wl[:, :class_slice], bl[:class_slice]
-    if temperature is not None:
-        temp = _temp(temperature)
-        wl, bl = (wl / temp).astype(wl.dtype), bl / temp
+    wl, bl, elu, inv_temp = _head_wl_bl(model, params, temperature,
+                                        class_slice)
     p = model.pyramid_dropout
     keep = jax.random.bernoulli(rng, 1.0 - p, (n_samples, fused.shape[-1]))
     masks = keep.astype(jnp.float32) / (1.0 - p)
     p_sum, h_sum = pmm.mc_megatail(
-        fused, params, wl, bl, masks=masks,
+        fused, params, wl, bl, masks=masks, elu=elu, inv_temp=inv_temp,
         interpret=(jax.default_backend() != "tpu"))
     return _mc_epilogue(p_sum, h_sum, n_samples, eps)
 
@@ -366,19 +362,38 @@ def mc_pallas_tail_summaries(model, variables: Any, y1, n_samples: int,
     ga = jnp.tile(ga, (1, phases)).reshape(t, b, phases * cp)
     gb = jnp.tile(gb, (1, phases)).reshape(t, b, phases * cp)
     act = act.reshape(t, b, h * w, phases * cp)
-    wl = params["logits_conv"]["kernel"][0, 0]
-    bl = params["logits_conv"]["bias"]
-    if class_slice is not None:
-        wl, bl = wl[:, :class_slice], bl[:class_slice]
-    if temperature is not None:
-        temp = _temp(temperature)
-        wl, bl = (wl / temp).astype(wl.dtype), bl / temp
+    wl, bl, elu, inv_temp = _head_wl_bl(model, params, temperature,
+                                        class_slice)
     p_sum, h_sum = pmt.mc_tail_reduce(act, ga, gb, wl, bl,
+                                      elu=elu, inv_temp=inv_temp,
                                       interpret=interp)
     ncls = wl.shape[1]
     p_sum = p_sum.reshape(b, h, w, 2, 2, ncls)
     h_sum = h_sum.reshape(b, h, w, 2, 2)
     return _mc_epilogue(p_sum, h_sum, n_samples, eps)
+
+
+def _head_wl_bl(model, params, temperature, class_slice):
+    """(wl, bl, elu, inv_temp) for the 1x1 logits head, class slice applied.
+
+    For raw-logit heads the calibration temperature folds into the weights
+    (softmax(lg/T) == softmax((W/T)x + b/T)). For `elu_plus_one` heads
+    (reference semanticFCN.py:237-246) the activation is nonlinear, so the
+    temperature must be applied AFTER elu+1 inside the tail instead —
+    returned as `inv_temp` for the kernels' epilogue."""
+    wl = params["logits_conv"]["kernel"][0, 0]
+    bl = params["logits_conv"]["bias"]
+    if class_slice is not None:
+        wl, bl = wl[:, :class_slice], bl[:class_slice]
+    elu = getattr(model, "head_activation", "none") == "elu_plus_one"
+    inv_temp = None
+    if temperature is not None:
+        temp = _temp(temperature)
+        if elu:
+            inv_temp = (1.0 / temp).astype(jnp.float32)
+        else:
+            wl, bl = (wl / temp).astype(wl.dtype), bl / temp
+    return wl, bl, elu, inv_temp
 
 
 def _mc_epilogue(p_sum, h_sum, n_samples: int, eps: float):

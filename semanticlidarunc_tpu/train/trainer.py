@@ -420,6 +420,27 @@ class Trainer:
                     mi_norm = jnp.zeros_like(h_norm)
                     conf = jnp.max(p, axis=-1)
                     mode = "probs"
+            if self.mesh is not None and self.spatial:
+                # Re-layout the per-pixel maps to batch-only sharding before
+                # the metric tail. Spatial (azimuth) sharding exists for the
+                # conv FLOPs in the forward; asking GSPMD to partition the
+                # histogram/sort/gamma-sampling metric tail over a width-
+                # sharded image makes the partitioner pathologically slow
+                # (round-4/5 dryrun: the sharded eval compile alone exceeded
+                # 10 min even for resnet10t at 16x128 on CPU) for zero
+                # runtime gain — the maps are a few MB/scan, so one
+                # all-gather over "model" is free and the tail partitions
+                # trivially over "data".
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+
+                def _dp_only(a):
+                    return jax.lax.with_sharding_constraint(
+                        a, NamedSharding(self.mesh, P("data")))
+
+                evalu, labels, h_norm, mi_norm, conf = (
+                    _dp_only(a) for a in
+                    (evalu, labels, h_norm, mi_norm, conf))
             return metric_stats(
                 evalu, labels, h_norm, mi_norm, conf, mode, rng,
                 with_mcrel=(self.loss_name == "Dirichlet"
@@ -539,7 +560,8 @@ class Trainer:
     def create_state(self, sample_batch, num_epochs: int,
                      steps_per_epoch: int,
                      pretrained: str | None = None,
-                     resume: str | None = None) -> TrainState:
+                     resume: str | None = None,
+                     variables=None) -> TrainState:
         tp = self.cfg["train_params"]
         base_lr = float(tp.get("learning_rate", 5e-4))
         eta_min = float(tp.get("learning_rate_min", 5e-6))
@@ -555,14 +577,16 @@ class Trainer:
         tx = optax.adamw(schedule,
                          weight_decay=float(tp.get("weight_decay", 1e-4)))
 
-        inputs = registry.set_model_inputs(
-            jnp.asarray(sample_batch["range"]),
-            jnp.asarray(sample_batch["reflectivity"]),
-            jnp.asarray(sample_batch["xyz"]),
-            jnp.asarray(sample_batch["normals"]), self.cfg)
-        self.rng, init_rng = jax.random.split(self.rng)
-        variables = self.model.init({"params": init_rng, "dropout": init_rng},
-                                    *inputs, train=False)
+        if variables is None:
+            inputs = registry.set_model_inputs(
+                jnp.asarray(sample_batch["range"]),
+                jnp.asarray(sample_batch["reflectivity"]),
+                jnp.asarray(sample_batch["xyz"]),
+                jnp.asarray(sample_batch["normals"]), self.cfg)
+            self.rng, init_rng = jax.random.split(self.rng)
+            variables = self.model.init(
+                {"params": init_rng, "dropout": init_rng}, *inputs,
+                train=False)
         if pretrained:
             variables, report = ckpt.load_pretrained_safely(variables,
                                                             pretrained)

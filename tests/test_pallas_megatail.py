@@ -15,14 +15,14 @@ from semanticlidarunc_tpu.prob.mc_dropout import _mc_epilogue
 from semanticlidarunc_tpu.utils import config as cfg_util
 
 
-def _build(h, w):
+def _build(h, w, **ms_extra):
     cfg = cfg_util.with_extras({
         "dataset_name": "SemanticKitti",
         "model_settings": {
             "baseline": "Reichert", "model_type": "resnet18",
             "loss_function": "CE", "attention": True,
             "multi_scale_meta": True, "normals": True, "reflectivity": True,
-            "projection": [h, w]},
+            "projection": [h, w], **ms_extra},
         "train_params": {}})
     model = registry.build_model(cfg)
     key = jax.random.PRNGKey(0)
@@ -78,6 +78,33 @@ def test_can_megatail_gates():
     assert not mc.can_megatail(model, 2, 64)       # degenerate phase grid
     assert mc.can_megatail(model, 16, 64, class_slice=31)
     assert not mc.can_megatail(model, 16, 64, class_slice=32)  # 4K+4 > 128
+    # elu_plus_one heads qualify since round 5 (VERDICT r4 ask #5)
+    model_elu, _, _, _, _ = _build(16, 64, head_activation="elu_plus_one")
+    assert mc.can_megatail(model_elu, 16, 64)
+
+
+def test_megatail_elu_plus_one_head_matches_xla_tail():
+    """The elu_plus_one (Dirichlet-style legacy semanticFCN) head runs
+    in-kernel: both Pallas tails must match the XLA production tail,
+    including a calibration temperature — which for this nonlinear head is
+    applied POST-activation rather than folded into wl/bl."""
+    t = 4
+    model, variables, x, meta, key = _build(
+        16, 64, head_activation="elu_plus_one")
+    assert model.head_activation == "elu_plus_one"
+    fused = model.apply(variables, x, meta, train=False,
+                        method=model.features)
+    for kwargs in ({}, {"temperature": 1.7, "class_slice": 16}):
+        ref = mc.mc_fused_summaries(model, variables, (x, meta), key, t,
+                                    use_pallas=False, **kwargs)
+        got = mc.mc_megatail_fused_summaries(model, variables, fused, key,
+                                             t, **kwargs)
+        for name, r, g in zip(("p_bar", "H", "MI"), ref, got):
+            np.testing.assert_allclose(g, r, atol=5e-5, err_msg=name)
+        y1 = model.apply(variables, fused, key, t, method=model.head_mc_pre)
+        got3 = mc.mc_pallas_tail_summaries(model, variables, y1, t, **kwargs)
+        for name, r, g in zip(("p_bar", "H", "MI"), ref, got3):
+            np.testing.assert_allclose(g, r, atol=5e-5, err_msg=name)
 
 
 def test_megatail_fused_dec1_matches_xla_tail():
