@@ -49,7 +49,7 @@ from __future__ import annotations
 
 import json
 import os
-import subprocess
+import signal
 import sys
 import time
 
@@ -61,6 +61,16 @@ import jax.numpy as jnp
 # Persistent compilation cache: fresh XLA compiles through this
 # environment's remote-compile tunnel cost minutes; caching makes repeat
 # bench runs (and the driver's end-of-round run) near-instant to warm up.
+#
+# CACHE-KEY FRAGILITY (measured round 5): programs containing Mosaic/Pallas
+# custom calls embed the CALLER's source locations inside the serialized
+# kernel payload, where jax's strip-debuginfo canonicalization cannot reach
+# — so their cache keys change whenever any file on the trace path (this
+# file, prob/mc_dropout.py, ops/pallas_mc_megatail.py, ...) shifts line
+# numbers, and each such program recompiles ~530 s through the tunnel.
+# Pure-XLA programs canonicalize fine and survive edits. Consequence: after
+# editing ANY of those files, re-run bench.py once on the TPU and commit the
+# refreshed bench_cache/ TOGETHER with the source change.
 # On TPU the cache lives in the COMMITTED bench_cache/ directory so it
 # rides the repo into the driver's clean checkout (round 4 lesson: the
 # gitignored .jax_cache/ left the driver's bench run fully cold, ~21 min
@@ -75,6 +85,13 @@ if jax.default_backend() == "tpu":
         os.path.dirname(os.path.abspath(__file__)), "bench_cache"))
 else:
     compile_cache.enable()
+
+if os.environ.get("SLU_BENCH_DEBUG"):
+    import logging
+    jax.config.update("jax_explain_cache_misses", True)
+    logging.basicConfig(level=logging.INFO)
+    logging.getLogger("jax._src.compilation_cache").setLevel(logging.DEBUG)
+    logging.getLogger("jax._src.compiler").setLevel(logging.DEBUG)
 
 _T0 = time.monotonic()
 
@@ -93,26 +110,57 @@ TRAIN_BS = 8                            # reference KITTI 64x2048 batch size
 REFERENCE_GPU_SCANS_PER_SEC = 2.29
 H100_FACTOR = 2.5                       # assumed H100 speedup over that GPU
 BASELINE_SCANS_PER_SEC = REFERENCE_GPU_SCANS_PER_SEC * H100_FACTOR
-# 20 chained iterations: at ~65 scans/s the measurement itself is <0.5 s —
-# compile time is the entire cost, so more repeats buy no precision
-N_ITERS = 20
+# 40 chained iterations: at ~65 scans/s that is ~0.6 s of pure device time
+# per endpoint run — enough signal to clear the tunnel's fetch-RTT jitter
+# once the min-of-4 repeats pin both endpoints to the RTT floor
+N_ITERS = 40
 # total wall budget (s) before we skip the optional metrics so the primary
 # metric always prints inside the driver's timeout. Round-4 driver evidence:
 # its run was still being recorded after ~1580 s of compile, so the old 520 s
 # self-limit skipped the optional metrics far too early.
 BUDGET_S = float(os.environ.get("SLU_BENCH_BUDGET_S", "1500"))
 
+# The one JSON line this process owes its caller, updated after every phase.
+# A SIGTERM/SIGINT (e.g. the driver's `timeout`) prints the metrics measured
+# SO FAR instead of dying silently — round-5 lesson: a kill during the last
+# optional phase used to discard an already-measured primary metric.
+_RESULT: dict = {}
+_PRINTED = False
 
-def _timed_slope(chained_fn, n_iters: int) -> float:
-    """Per-iteration seconds via the (1, N+1)-run slope (cancels RPC cost)."""
+
+def _emit() -> None:
+    global _PRINTED
+    if not _PRINTED and _RESULT:
+        _PRINTED = True
+        print(json.dumps(_RESULT), flush=True)
+
+
+def _on_term(signum, frame):
+    _mark(f"signal {signum}: emitting partial result")
+    _emit()
+    os._exit(0)
+
+
+signal.signal(signal.SIGTERM, _on_term)
+signal.signal(signal.SIGINT, _on_term)
+
+
+def _timed_slope(chained_fn, n_iters: int, repeats: int = 4) -> float:
+    """Per-iteration seconds via the (1, N+1)-run slope (cancels RPC cost).
+
+    min() over `repeats` runs of each endpoint: the tunnel's fetch RTT
+    jitters by up to ~1 s, and the min-floor is what is stable — measured
+    round 5, 2 repeats gave a 3x spread on the train-step metric."""
     def timed(n: int) -> float:
         t0 = time.perf_counter()
         int(chained_fn(jnp.asarray(n)))  # single scalar fetch -> full sync
-        return time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        _mark(f"  timed({n}) = {dt:.3f}s")
+        return dt
 
     timed(1)  # compile + warm caches
-    t1 = min(timed(1) for _ in range(3))
-    tn = min(timed(n_iters + 1) for _ in range(3))
+    t1 = min(timed(1) for _ in range(repeats))
+    tn = min(timed(n_iters + 1) for _ in range(repeats))
     return (tn - t1) / n_iters
 
 
@@ -286,59 +334,89 @@ def main():
 
     # metric priority under the wall budget: (1) primary e2e, (2) train-step
     # throughput (VERDICT r2 #6 — train-path regressions must be externally
-    # visible), (3) the secondary model-only number if time remains
-    _mark("measuring primary e2e")
+    # visible), (3) the secondary model-only number if time remains.
+    #
+    # ALL phases run in-process and sequential: the TPU chip is held
+    # exclusively by this process, so a subprocess can never acquire it
+    # while the parent lives (measured round 5 — the round-4 train-step
+    # subprocess died on backend init every time). Each optional phase is
+    # gated on the remaining budget with a cold/warm compile estimate, and
+    # the SIGTERM handler guarantees whatever has been measured still
+    # prints if an external timeout fires mid-phase.
+    def _remaining() -> float:
+        return BUDGET_S - (time.monotonic() - _T0)
+
+    def _publish(scans_per_sec: float) -> None:
+        _RESULT.update({
+            "metric": "kitti_mc20_e2e_scans_per_sec",
+            "value": round(scans_per_sec, 3),
+            "unit": "scans/s/chip",
+            "vs_baseline": round(scans_per_sec / BASELINE_SCANS_PER_SEC, 3),
+            "vs_reference_gpu": round(
+                scans_per_sec / REFERENCE_GPU_SCANS_PER_SEC, 3),
+        })
+        _RESULT.setdefault("model_only_scans_per_sec", None)
+        _RESULT.setdefault("train_bs8_scans_per_sec", None)
+        _RESULT.setdefault("baseline_note", (
+            "baseline = reference-GPU 2.29 scans/s (forward only) x assumed "
+            "H100 factor 2.5; e2e value also includes on-device "
+            "projection+back-projection the baseline excludes"))
+
+    _mark("measuring primary e2e" + (" (split pipeline)" if use_split else ""))
+    t_phase = time.monotonic()
     per_scan_full = _timed_slope(chained_full, N_ITERS)
-    _mark(f"primary e2e done: {1.0 / per_scan_full:.1f} scans/s")
-
-    # bs8 train-step throughput in a subprocess with the remaining budget
-    # (minus a reserve for the model-only metric) so a slow compile can
-    # never cost us the primary metric
-    train_scans = None
-    remaining = BUDGET_S - (time.monotonic() - _T0) - 20.0
-    _mark(f"train-step subprocess: remaining budget {remaining:.0f}s")
-    if remaining > 60.0:
-        try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--train-step"],
-                capture_output=True, text=True, timeout=remaining,
-                env=os.environ)
-            for line in out.stdout.splitlines():
-                if line.startswith("{"):
-                    train_scans = json.loads(line).get("train_scans_per_sec")
-        except (subprocess.TimeoutExpired, Exception):
-            train_scans = None
-
-    per_scan_model = None
-    _mark(f"model-only: remaining budget "
-          f"{BUDGET_S - (time.monotonic() - _T0):.0f}s")
-    if BUDGET_S - (time.monotonic() - _T0) > 30.0:
-        per_scan_model = _timed_slope(chained_model, N_ITERS)
-        _mark("model-only done")
-
+    cold = (time.monotonic() - t_phase) > 200.0   # no warm cache this run
     scans_per_sec = 1.0 / per_scan_full
-    print(json.dumps({
-        "metric": "kitti_mc20_e2e_scans_per_sec",
-        "value": round(scans_per_sec, 3),
-        "unit": "scans/s/chip",
-        "vs_baseline": round(scans_per_sec / BASELINE_SCANS_PER_SEC, 3),
-        "model_only_scans_per_sec": (None if per_scan_model is None
-                                     else round(1.0 / per_scan_model, 3)),
-        "train_bs8_scans_per_sec": train_scans,
-        "vs_reference_gpu": round(
-            scans_per_sec / REFERENCE_GPU_SCANS_PER_SEC, 3),
-        "baseline_note": ("baseline = reference-GPU 2.29 scans/s (forward "
-                          "only) x assumed H100 factor 2.5; e2e value also "
-                          "includes on-device projection+back-projection "
-                          "the baseline excludes"),
-    }))
+    _mark(f"primary e2e done: {scans_per_sec:.1f} scans/s")
+    if use_split:
+        _RESULT["e2e_split_scans_per_sec"] = round(scans_per_sec, 3)
+    _publish(scans_per_sec)
+
+    # The fused single-executable variant of the same full path (the
+    # make_batched_mc_segmenter fallback pipeline): zero per-scan dispatch
+    # overhead, so it wins over the split Pallas pipeline when the RPC
+    # link to the chip is slow; the split wins on fast links. Headline =
+    # the better of the two product pipelines under current conditions.
+    if use_split and _remaining() > (600.0 if cold else 120.0):
+        _mark("measuring fused single-program e2e variant")
+        per_scan_fused = _timed_slope(
+            lambda n: chained_full_impl(n, variables), N_ITERS)
+        fused_scans = 1.0 / per_scan_fused
+        _mark(f"fused e2e variant done: {fused_scans:.1f} scans/s")
+        _RESULT["e2e_fused_scans_per_sec"] = round(fused_scans, 3)
+        if fused_scans > scans_per_sec:
+            scans_per_sec = fused_scans
+            _publish(scans_per_sec)
+
+    if _remaining() > (550.0 if cold else 150.0):
+        _mark("measuring bs8 train-step throughput")
+        try:
+            train_scans, step_ms = measure_train_step()
+            _RESULT["train_bs8_scans_per_sec"] = round(train_scans, 3)
+            _RESULT["train_step_ms"] = round(step_ms, 3)
+            _mark(f"train-step done: {train_scans:.1f} scans/s")
+        except Exception as e:                    # pragma: no cover
+            _mark(f"train-step phase failed: {e!r}")
+    else:
+        _mark(f"skipping train-step (remaining {_remaining():.0f}s)")
+
+    if _remaining() > (500.0 if cold else 90.0):
+        _mark("measuring model-only")
+        per_scan_model = _timed_slope(chained_model, N_ITERS)
+        _RESULT["model_only_scans_per_sec"] = round(1.0 / per_scan_model, 3)
+        _mark("model-only done")
+    else:
+        _mark(f"skipping model-only (remaining {_remaining():.0f}s)")
+
+    _emit()
 
 
-def train_step_bench():
-    """bs8 resnet50 bf16 CE+Lovász train-step scans/s (chained-slope inside
-    one jit, same methodology as the inference metrics). Run as a
-    subprocess of main() so its compile time can never eat the primary
-    metric's budget. Reference train protocol: trainer.py:455-787."""
+def measure_train_step() -> tuple[float, float]:
+    """bs8 resnet50 bf16 CE+Lovász train-step (scans/s, step ms) via the
+    chained-slope methodology the inference metrics use. Called in-process
+    by main() (the chip is exclusive to this process) and by the
+    standalone `--train-step` CLI mode. Reference train protocol:
+    trainer.py:455-787."""
     from semanticlidarunc_tpu.dataset.pipeline import (DataLoader,
                                                        SyntheticDataset)
     from semanticlidarunc_tpu.models import fastinit, registry
@@ -390,15 +468,24 @@ def train_step_bench():
     def timed(n):
         t0 = time.perf_counter()
         float(chained(jnp.asarray(n), state, batch))
-        return time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        _mark(f"  train timed({n}) = {dt:.3f}s")
+        return dt
 
+    # 30-step chain + min-of-4: at ~0.1 s/step the 30-step signal (~3 s)
+    # must clear the tunnel's ~1 s fetch-RTT jitter (round-5 measurement:
+    # 10-step chains with 2 repeats spread 3x run-to-run)
     timed(1)
-    t1 = min(timed(1) for _ in range(2))
-    tn = min(timed(11) for _ in range(2))
-    per_step = (tn - t1) / 10
-    print(json.dumps(
-        {"train_scans_per_sec": round(TRAIN_BS / per_step, 3),
-         "train_step_ms": round(per_step * 1e3, 3)}))
+    t1 = min(timed(1) for _ in range(4))
+    tn = min(timed(31) for _ in range(4))
+    per_step = (tn - t1) / 30
+    return TRAIN_BS / per_step, per_step * 1e3
+
+
+def train_step_bench():
+    scans, step_ms = measure_train_step()
+    print(json.dumps({"train_scans_per_sec": round(scans, 3),
+                      "train_step_ms": round(step_ms, 3)}))
 
 
 if __name__ == "__main__":
