@@ -70,9 +70,18 @@ def enable(cache_dir: str | None = None) -> str:
     first write). Safe to call multiple times; returns the directory."""
     import jax
 
+    if os.environ.get("SLU_NO_CACHE"):
+        return "<disabled>"
     cache_dir = cache_dir or default_cache_dir()
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    # Threshold below which a compile is not worth persisting. 0 caches
+    # everything (right for the TPU bench, where even small programs cost
+    # minutes through the remote-compile tunnel); the CPU test suite sets
+    # SLU_CACHE_MIN_COMPILE_S>0 because its thousands of tiny programs
+    # compile faster than the cache's own get/put disk round-trip
+    # (profiled: _cache_read alone cost 2.5 s in a 43 s test).
+    min_s = float(os.environ.get("SLU_CACHE_MIN_COMPILE_S", "0"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", min_s)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
     return cache_dir

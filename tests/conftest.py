@@ -36,6 +36,16 @@ jax.config.update("jax_platforms", "cpu")
 # from ~27 min toward the actual compute time. compile_cache.enable() keys
 # the directory by a host-CPU fingerprint so AOT executables compiled on a
 # different machine are never loaded (SIGILL hazard).
+#
+# The default base is the COMMITTED cpu_cache/ directory (same pattern as
+# bench_cache/ for the TPU): a clean checkout on a host whose fingerprint
+# matches a committed subdir starts warm (~5 min suite instead of ~20);
+# any other host simply sees an empty subdir and compiles cold — the
+# fingerprint keying plus the AVX2 ISA clamp above make a foreign cache
+# unloadable rather than a SIGILL landmine. Override with $SLU_JAX_CACHE.
+_repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("SLU_JAX_CACHE", os.path.join(_repo_root, "cpu_cache"))
+
 from semanticlidarunc_tpu.utils import compile_cache  # noqa: E402
 
 compile_cache.enable()
